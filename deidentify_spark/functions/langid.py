@@ -1,0 +1,106 @@
+"""fastText-style language identification, from scratch.
+
+The fasttext library is not available in this environment, so this module
+implements the same public technique (Joulin et al. 2016: hashed character
+n-gram features into a linear classifier) as a deterministic
+centroid/nearest-class-mean model over hashed char 1-3-gram counts:
+
+* featurize: codepoints -> hashed 1/2/3-gram counts into a 2^15 bucket
+  vector (numpy, vectorized — no per-character Python), L2-normalized.
+* train: class centroid = normalized mean feature vector of the authored
+  per-language training text (sources/textpools.LANGID_TRAINING) —
+  fitted once per process at first use, deterministic (no RNG anywhere).
+* predict: cosine score against each centroid; confidence = softmax over
+  scores with a fixed temperature.
+
+The Spark surface is a masked Arrow pandas UDF returning
+struct<lang_pred:string, lang_conf:double>.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+_DIM = 1 << 15
+_MASK = _DIM - 1
+# Multipliers for the rolling n-gram hash (odd constants, deterministic).
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+_M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_SOFTMAX_TEMP = 24.0
+
+_MODEL: tuple[np.ndarray, list[str]] | None = None
+
+
+def _codepoints(s: str) -> np.ndarray:
+    return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+
+
+def featurize(s: str) -> np.ndarray:
+    """Hashed char 1/2/3-gram count vector, L2-normalized (float32)."""
+    c = _codepoints(s.lower())
+    vec = np.zeros(_DIM, dtype=np.float32)
+    if c.size == 0:
+        return vec
+    idx1 = (c * _M1) & _MASK
+    np.add.at(vec, idx1.astype(np.int64), 1.0)
+    if c.size >= 2:
+        h2 = (c[:-1] * _M1 + c[1:] * _M2) & _MASK
+        np.add.at(vec, h2.astype(np.int64), 1.0)
+    if c.size >= 3:
+        h3 = ((c[:-2] * _M1 + c[1:-1] * _M2) * _M1 + c[2:]) & _MASK
+        np.add.at(vec, h3.astype(np.int64), 1.0)
+    norm = np.linalg.norm(vec)
+    return vec / norm if norm > 0 else vec
+
+
+def _get_model() -> tuple[np.ndarray, list[str]]:
+    """Centroid matrix (n_langs x DIM) + language labels, fitted lazily."""
+    global _MODEL
+    if _MODEL is None:
+        from deidentify_spark.sources.textpools import LANGID_TRAINING
+
+        langs = sorted(LANGID_TRAINING)
+        mat = np.stack([featurize(LANGID_TRAINING[lang]) for lang in langs])
+        _MODEL = (mat, langs)
+    return _MODEL
+
+
+def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
+    """Predict (lang, confidence) for each text. Pure function."""
+    mat, langs = _get_model()
+    preds, confs = [], []
+    for t in texts:
+        if not t:
+            preds.append("und")
+            confs.append(0.0)
+            continue
+        scores = mat @ featurize(t)
+        e = np.exp((scores - scores.max()) * _SOFTMAX_TEMP)
+        p = e / e.sum()
+        best = int(np.argmax(p))
+        preds.append(langs[best])
+        confs.append(float(p[best]))
+    return preds, confs
+
+
+LANGID_SCHEMA = StructType(
+    [
+        StructField("lang_pred", StringType()),
+        StructField("lang_conf", DoubleType()),
+    ]
+)
+
+
+def langid_udf():
+    """Arrow pandas UDF: text -> struct(lang_pred, lang_conf)."""
+
+    @F.pandas_udf(LANGID_SCHEMA)
+    def langid(text: pd.Series) -> pd.DataFrame:
+        vals = text.fillna("").tolist()
+        preds, confs = predict_batch(vals)
+        return pd.DataFrame({"lang_pred": preds, "lang_conf": confs})
+
+    return langid

@@ -1,0 +1,215 @@
+"""Gopher/C4-style heuristic quality rules as native Spark expressions.
+
+Rules follow the published heuristics of Rae et al. 2021 (Gopher, §A1.1)
+and Raffel et al. 2020 (C4, §2.2) — public knowledge, not the reference
+repo (the reference is a scalar PII library; the filter layer is mandated
+by the build contract / BASELINE.json north_rule).
+
+Everything except the n-gram repetition ratio is a pure
+``pyspark.sql.functions`` column expression (JVM-side, whole-stage
+codegen'd, no Python). The repetition ratio needs n-gram frequency
+counting and lives in a masked Arrow pandas UDF (see
+:func:`top_ngram_frac_udf`).
+
+Rule evaluation order is fixed and load-bearing: ``drop_reason`` is the
+FIRST failing rule, and the synthetic generator (sources/pages.py) crafts
+each defect class to fail exactly one rule with a comfortable margin.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+@dataclass(frozen=True)
+class QualityConfig:
+    """Thresholds for the heuristic keep/drop rules.
+
+    Defaults mirror Gopher §A1.1 / C4 §2.2 where published, except
+    ``max_words`` (Gopher: 100,000) which defaults lower so synthetic
+    test fixtures can exercise the rule without generating 100k-word
+    documents; production callers pass the Gopher value.
+    """
+
+    min_words: int = 50
+    max_words: int = 2_000
+    min_mean_word_length: float = 3.0
+    max_mean_word_length: float = 10.0
+    max_symbol_word_ratio: float = 0.1  # '#' and ellipsis per word (Gopher)
+    max_bullet_line_frac: float = 0.9
+    max_ellipsis_line_frac: float = 0.3
+    min_alpha_word_frac: float = 0.8
+    min_stopword_count: int = 2
+    max_dup_line_frac: float = 0.3
+    max_top_2gram_frac: float = 0.2
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with")
+    banned_phrases: tuple[str, ...] = (
+        "lorem ipsum",
+        "enable javascript",
+        "cookies enabled",
+        "cookie policy",
+        "terms of use",
+        "privacy policy",
+    )
+
+
+# Ordered (reason, failure-predicate builder) registry; first failure wins.
+QUALITY_DROP_REASONS = (
+    "too_few_words",
+    "too_many_words",
+    "mean_word_length",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "alpha_ratio",
+    "few_stopwords",
+    "duplicate_lines",
+    "top_ngram_repetition",
+    "lorem_ipsum",
+    "curly_brace",
+    "policy_phrase",
+)
+
+
+def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
+    """Named metric columns, all JVM-side expressions.
+
+    Words are whitespace-separated tokens; lines are newline-separated.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    word_count = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(words))
+    # mean word length = non-whitespace chars / words
+    non_ws_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    mean_word_len = non_ws_chars / F.greatest(word_count, F.lit(1))
+
+    hash_count = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    ellipsis_count = (
+        F.length(F.regexp_replace(text, r"\.\.\.", "\x00"))
+        - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) + (F.length(text) - F.length(F.regexp_replace(text, "…", "")))
+    symbol_ratio = (hash_count + ellipsis_count) / F.greatest(word_count, F.lit(1))
+
+    lines = F.filter(F.split(text, "\n"), lambda ln: F.trim(ln) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).startswith("-")
+                | F.trim(ln).startswith("•")
+                | F.trim(ln).startswith("*"),
+            )
+        )
+        / n_lines
+    )
+    ellipsis_line_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).endswith("...") | F.trim(ln).endswith("…"),
+            )
+        )
+        / n_lines
+    )
+    alpha_word_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+        / F.greatest(word_count, F.lit(1))
+    )
+    stop_arr = F.array(*[F.lit(s) for s in cfg.stopwords])
+    stopword_count = F.size(
+        F.filter(
+            words,
+            lambda w: F.array_contains(
+                stop_arr, F.lower(F.regexp_replace(w, r"[^A-Za-z]", ""))
+            ),
+        )
+    )
+    dup_line_frac = F.lit(1.0) - (
+        F.size(F.array_distinct(lines)) / n_lines.cast("double")
+    )
+    lowered = F.lower(text)
+    has_banned = None
+    for phrase in cfg.banned_phrases:
+        cond = F.instr(lowered, phrase) > 0
+        has_banned = cond if has_banned is None else (has_banned | cond)
+    return {
+        "word_count": word_count,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_line_frac,
+        "alpha_word_frac": alpha_word_frac,
+        "stopword_count": stopword_count,
+        "dup_line_frac": dup_line_frac,
+        "has_lorem": F.instr(lowered, "lorem ipsum") > 0,
+        "has_curly": F.instr(text, "{") > 0,
+        "has_policy": (
+            (F.instr(lowered, "enable javascript") > 0)
+            | (F.instr(lowered, "cookies enabled") > 0)
+            | (F.instr(lowered, "cookie policy") > 0)
+            | (F.instr(lowered, "terms of use") > 0)
+            | (F.instr(lowered, "privacy policy") > 0)
+        ),
+    }
+
+
+def top_ngram_frac_udf():
+    """Masked Arrow pandas UDF: fraction of word 2-grams taken by the most
+    common 2-gram. Computed only where ``mask`` is true (dropped rows get
+    NaN), keeping the expensive Python work off already-rejected docs
+    while preserving a single-pass plan."""
+
+    @F.pandas_udf(DoubleType())
+    def top_2gram_frac(text: pd.Series, mask: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = pd.Series(np.nan, index=text.index, dtype="float64")
+        todo = mask.fillna(False).astype(bool) & text.notna()
+        for i in text.index[todo]:
+            words = text[i].lower().split()
+            if len(words) < 2:
+                out[i] = 0.0
+                continue
+            from collections import Counter
+
+            grams = Counter(zip(words, words[1:]))
+            out[i] = max(grams.values()) / (len(words) - 1)
+        return out
+
+    return top_2gram_frac
+
+
+def quality_drop_reason(m: dict[str, Column], top2: Column, cfg: QualityConfig) -> Column:
+    """First-failing-rule drop reason (null = passes all quality rules).
+
+    ``m`` is the dict from :func:`quality_metrics`; ``top2`` the masked
+    2-gram column (null/NaN counts as passing — it is only computed for
+    rows that survived the cheap rules)."""
+    return (
+        F.when(m["word_count"] < cfg.min_words, "too_few_words")
+        .when(m["word_count"] > cfg.max_words, "too_many_words")
+        .when(
+            (m["mean_word_len"] < cfg.min_mean_word_length)
+            | (m["mean_word_len"] > cfg.max_mean_word_length),
+            "mean_word_length",
+        )
+        .when(m["symbol_ratio"] > cfg.max_symbol_word_ratio, "symbol_ratio")
+        .when(m["bullet_line_frac"] > cfg.max_bullet_line_frac, "bullet_lines")
+        .when(m["ellipsis_line_frac"] > cfg.max_ellipsis_line_frac, "ellipsis_lines")
+        .when(m["alpha_word_frac"] < cfg.min_alpha_word_frac, "alpha_ratio")
+        .when(m["stopword_count"] < cfg.min_stopword_count, "few_stopwords")
+        .when(m["dup_line_frac"] > cfg.max_dup_line_frac, "duplicate_lines")
+        .when(
+            top2.isNotNull() & ~F.isnan(top2) & (top2 > cfg.max_top_2gram_frac),
+            "top_ngram_repetition",
+        )
+        .when(m["has_lorem"], "lorem_ipsum")
+        .when(m["has_curly"], "curly_brace")
+        .when(m["has_policy"], "policy_phrase")
+        .otherwise(F.lit(None).cast("string"))
+    )

@@ -1,0 +1,73 @@
+"""Calibration tests for the filter-stage models (no Spark needed)."""
+
+import numpy as np
+
+from deidentify_spark.functions.langid import predict_batch
+from deidentify_spark.functions.perplexity import perplexity
+from deidentify_spark.functions.quality import QualityConfig
+from deidentify_spark.sources.pages import make_doc
+
+CFG = QualityConfig()
+DOCS = [make_doc(42, i, CFG) for i in range(2000)]
+
+
+def test_langid_never_confuses_non_english_for_english():
+    non_en = [d for d in DOCS if d["true_lang"] != "en"]
+    preds, _ = predict_batch([d["text"] for d in non_en])
+    assert all(p != "en" for p in preds)
+
+
+def test_langid_clean_english_high_confidence():
+    clean = [d for d in DOCS if d["expected_drop_reason"] is None]
+    preds, confs = predict_batch([d["text"] for d in clean])
+    assert all(p == "en" for p in preds)
+    assert min(confs) > 0.4  # pipeline gate is 0.35
+
+
+def test_langid_deterministic():
+    texts = [d["text"] for d in DOCS[:50]]
+    assert predict_batch(texts) == predict_batch(texts)
+
+
+def test_perplexity_separates_gibberish():
+    clean = [d for d in DOCS if d["expected_drop_reason"] is None]
+    gib = [d for d in DOCS if d["expected_drop_reason"] == "high_perplexity"]
+    assert gib, "generator must emit gibberish docs"
+    p_clean = [perplexity(d["text"]) for d in clean]
+    p_gib = [perplexity(d["text"]) for d in gib]
+    assert max(p_clean) < 1500 < min(p_gib)
+    assert min(p_gib) / max(p_clean) > 10  # wide margin
+
+
+def test_generator_deterministic_and_pure():
+    a = make_doc(42, 123, CFG)
+    b = make_doc(42, 123, CFG)
+    assert a == b
+    c = make_doc(43, 123, CFG)
+    assert c["text"] != a["text"]
+
+
+def test_generator_host_skew():
+    hosts = [d["url"].split("//")[1].split(".")[0] for d in DOCS]
+    top = max(set(hosts), key=hosts.count)
+    # Zipf-ish: the hottest host should carry a large share (salting target)
+    assert hosts.count(top) / len(hosts) > 0.2
+
+
+def test_category_mix_covers_all_reasons():
+    reasons = {d["expected_drop_reason"] for d in DOCS}
+    assert reasons >= {
+        None,
+        "non_english",
+        "too_few_words",
+        "too_many_words",
+        "bullet_lines",
+        "ellipsis_lines",
+        "symbol_ratio",
+        "duplicate_lines",
+        "top_ngram_repetition",
+        "high_perplexity",
+        "lorem_ipsum",
+        "curly_brace",
+        "policy_phrase",
+    }
