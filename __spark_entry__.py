@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end pipeline (langid gate ->
+Gopher/C4 quality rules -> perplexity -> deterministic PII scrub) over the
+sf0.001 ``documents`` table mapped into the pages schema.
+
+``queries()``/``oracle_sql()`` expose the relational + text/dedup/
+similarity operator inventory, each checked against DuckDB at sf0.01 by
+the driver (SURVEY.md §2.F). Column names/aliases match between both
+sides; aggregates are rounded to absorb float summation-order noise.
+Non-SQL-expressible operators (UDF-backed langid/scrub/pipeline) have no
+oracle entry -> rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +17,482 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SECRET_KEY = "test-secret-key"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter + scrub pipeline over documents."""
+    from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.col("text").cast("binary").alias("html"),
+        "text",
+        "lang",
+    )
+    cfg = PipelineConfig(secret_key=SECRET_KEY)
+    out = run_pipeline(pages, cfg)
+    return out.select(
+        "url", "lang_pred", "lang_conf", "drop_reason", "keep", "scrubbed_text"
+    )
+
+
+# --------------------------------------------------------------------------
+# relational inventory (SURVEY.md §2.F) — every callable (spark, sf_dir)
+# --------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q5_supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_custkey")
+    )
+
+
+def rollup_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def cube_part_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.cube("p_brand", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("p_brand", "p_size")
+    )
+
+
+def window_top3_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("c_nationkey", "rnk", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"))
+        .orderBy("c_nationkey", "rnk")
+    )
+
+
+def window_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def setop_high_value_minus_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return high.exceptAll(urgent).orderBy("o_orderkey")
+
+
+def json_events_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def monthly_order_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("month")
+    )
+
+
+def events_tumbling_10min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# text / dedup / similarity inventory over documents + embeddings
+# --------------------------------------------------------------------------
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5-keyed groups, canonical = min doc_id."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .orderBy("canonical_doc_id")
+    )
+
+
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("word_count"),
+        F.length("text").alias("char_count"),
+        F.size(F.array_distinct(words)).alias("distinct_words"),
+    ).orderBy("doc_id")
+
+
+def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 vs vec_id=0, JVM-side (zip_with/aggregate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qrow = emb.where(F.col("vec_id") == 0).select("embedding").head()
+    qvec = F.array(*[F.lit(float(x)) for x in qrow[0]])
+    a = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(a, qvec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    norm_a = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    norm_q = F.sqrt(
+        F.aggregate(qvec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select(
+            "vec_id", F.round(dot / (norm_a * norm_q), 4).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# UDF-backed (non-SQL-expressible) -> rows-only checks
+# --------------------------------------------------------------------------
+
+
+def langid_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.functions.langid import langid_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lid", langid_udf()(F.col("text")))
+        .groupBy(F.col("lid.lang_pred").alias("lang_pred"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.functions.scrub import scrub_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", scrub_text_udf(SECRET_KEY)(F.col("text")).alias("scrubbed_text")
+    ).orderBy("doc_id")
+
+
+def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline + lineage metrics over deterministic synthetic pages."""
+    from deidentify_spark.pipeline.lineage import lineage_metrics
+    from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+    from deidentify_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 2000, seed=42, partitions=8)
+    out = run_pipeline(pages, PipelineConfig(secret_key=SECRET_KEY))
+    return lineage_metrics(out).select(
+        "bucket", "docs_in", "docs_out", "drop_reason_counts"
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_supplier_volume_by_nation": q5_supplier_volume_by_nation,
+        "semi_customers_with_open_orders": semi_customers_with_open_orders,
+        "anti_customers_without_orders": anti_customers_without_orders,
+        "rollup_orders_status_priority": rollup_orders_status_priority,
+        "cube_part_brand_size": cube_part_brand_size,
+        "window_top3_customers_per_nation": window_top3_customers_per_nation,
+        "window_customer_running_spend": window_customer_running_spend,
+        "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
+        "json_events_avg_by_type": json_events_avg_by_type,
+        "monthly_order_volume": monthly_order_volume,
+        "events_tumbling_10min": events_tumbling_10min,
+        "dedup_exact_documents": dedup_exact_documents,
+        "text_stats_documents": text_stats_documents,
+        "ann_cosine_top10": ann_cosine_top10,
+        "langid_documents_counts": langid_documents_counts,
+        "scrub_documents": scrub_documents,
+        "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_supplier_volume_by_nation": """
+            SELECT r_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "semi_customers_with_open_orders": """
+            SELECT c_custkey, c_name
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            ORDER BY c_custkey
+        """,
+        "anti_customers_without_orders": """
+            SELECT c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+            FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "rollup_orders_status_priority": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
+        "cube_part_brand_size": """
+            SELECT p_brand, p_size,
+                   COUNT(*) AS n_parts,
+                   ROUND(AVG(p_retailprice), 4) AS avg_price
+            FROM part
+            GROUP BY CUBE (p_brand, p_size)
+            ORDER BY p_brand, p_size
+        """,
+        "window_top3_customers_per_nation": """
+            SELECT c_nationkey, rnk, c_custkey, acctbal FROM (
+                SELECT c_nationkey, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY c_acctbal DESC, c_custkey ASC
+                       ) AS rnk
+                FROM customer
+            ) WHERE rnk <= 3
+            ORDER BY c_nationkey, rnk
+        """,
+        "window_customer_running_spend": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_spend
+            FROM orders
+            ORDER BY o_custkey, o_orderkey
+        """,
+        "setop_high_value_minus_urgent": """
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+            EXCEPT ALL
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey
+        """,
+        "json_events_avg_by_type": """
+            SELECT event_type,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "monthly_order_volume": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY 1
+            ORDER BY month
+        """,
+        "events_tumbling_10min": """
+            SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+                            '%Y-%m-%d %H:%M') AS win_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+            ORDER BY win_start, event_type
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(text) AS text_hash,
+                   MIN(doc_id) AS canonical_doc_id,
+                   COUNT(*) AS group_size
+            FROM documents
+            GROUP BY md5(text)
+            ORDER BY canonical_doc_id
+        """,
+        "text_stats_documents": """
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS word_count,
+                   length(text) AS char_count,
+                   len(list_distinct(regexp_split_to_array(trim(text), '\\s+')))
+                       AS distinct_words
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "ann_cosine_top10": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                   ), 4) AS cosine
+            FROM embeddings
+            WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+    }

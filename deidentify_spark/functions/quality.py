@@ -184,6 +184,65 @@ def top_ngram_frac_udf():
     return top_2gram_frac
 
 
+def quality_pre_reason_py(text: str, cfg: QualityConfig) -> str | None:
+    """Python twin of the Column-expression rules BEFORE the n-gram
+    repetition check (same order, same thresholds), for use inside the
+    fused Arrow UDF — measured ~100x cheaper per doc than the
+    interpreted/duplicated JVM expression tree (which re-splits the text
+    in every CASE WHEN branch). Parity with the Column version is pinned
+    by tests/test_functions.py."""
+    words = text.split()
+    n_words = len(words)
+    if n_words < cfg.min_words:
+        return "too_few_words"
+    if n_words > cfg.max_words:
+        return "too_many_words"
+    total_chars = sum(len(w) for w in words)
+    mean_len = total_chars / n_words
+    if mean_len < cfg.min_mean_word_length or mean_len > cfg.max_mean_word_length:
+        return "mean_word_length"
+    symbols = text.count("#") + text.count("...") + text.count("…")
+    if symbols / n_words > cfg.max_symbol_word_ratio:
+        return "symbol_ratio"
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    n_lines = max(len(lines), 1)
+    bullets = sum(
+        1 for ln in lines if ln.strip().startswith(("-", "•", "*"))
+    )
+    if bullets / n_lines > cfg.max_bullet_line_frac:
+        return "bullet_lines"
+    ellipsis_ends = sum(
+        1 for ln in lines if ln.strip().endswith(("...", "…"))
+    )
+    if ellipsis_ends / n_lines > cfg.max_ellipsis_line_frac:
+        return "ellipsis_lines"
+    alpha_words = sum(1 for w in words if any(c.isalpha() for c in w))
+    if alpha_words / n_words < cfg.min_alpha_word_frac:
+        return "alpha_ratio"
+    stop = set(cfg.stopwords)
+    punct = "\"'.,;:!?()[]{}<>-_#"
+    stop_count = sum(1 for w in words if w.lower().strip(punct) in stop)
+    if stop_count < cfg.min_stopword_count:
+        return "few_stopwords"
+    if len(lines) > 0 and 1.0 - len(set(lines)) / n_lines > cfg.max_dup_line_frac:
+        return "duplicate_lines"
+    return None
+
+
+def quality_post_reason_py(text: str, cfg: QualityConfig) -> str | None:
+    """Python twin of the C4 contains-rules that come AFTER the n-gram
+    repetition check in the rule order."""
+    lowered = text.lower()
+    if "lorem ipsum" in lowered:
+        return "lorem_ipsum"
+    if "{" in text:
+        return "curly_brace"
+    for phrase in cfg.banned_phrases:
+        if phrase in lowered:
+            return "policy_phrase"
+    return None
+
+
 def quality_drop_reason(m: dict[str, Column], top2: Column, cfg: QualityConfig) -> Column:
     """First-failing-rule drop reason (null = passes all quality rules).
 

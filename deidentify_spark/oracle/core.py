@@ -19,6 +19,8 @@ import hashlib
 import hmac as _hmac
 import secrets
 
+import regex as _regex
+
 from . import patterns as P
 from .pools import (
     EMAIL_DOMAINS,
@@ -36,6 +38,8 @@ TYPE_SSN = "ssn"
 TYPE_CREDIT_CARD = "credit_card"
 TYPE_ADDRESS = "address"
 TYPE_GENERIC = "generic"
+
+_DIGIT_RE = _regex.compile(r"[0-9]")
 
 ALL_TYPES = (
     TYPE_NAME,
@@ -229,15 +233,24 @@ class Deidentifier:
         see earlier replacements are load-bearing reference behaviors."""
         if text == "":
             return ""
+        # Byte-identical fast-path gates: every pass except names (7) can
+        # only match text containing a digit ('@' additionally required
+        # for emails) — the patterns all demand [0-9] / '@' literally —
+        # so running them on gate-failing text is a guaranteed no-op.
+        # Gates re-check the RUNNING text because earlier replacements
+        # can introduce digits (e.g. email fakes carry a numeric suffix).
         result = text
-        result = self._process_emails(result)
-        result = self._process_phones(result)
-        result = self._process_ssns(result, text)
-        result = self._process_credit_cards(result)
-        result = self._process_context_addresses(result)
-        result = self._process_special_addresses(result)
+        if "@" in result:
+            result = self._process_emails(result)
+        if _DIGIT_RE.search(result):
+            result = self._process_phones(result)
+            result = self._process_ssns(result, text)
+            result = self._process_credit_cards(result)
+            result = self._process_context_addresses(result)
+            result = self._process_special_addresses(result)
         result = self._process_names(result)
-        result = self._process_standard_addresses(result)
+        if _DIGIT_RE.search(result):
+            result = self._process_standard_addresses(result)
         return result
 
     def _process_emails(self, text: str) -> str:

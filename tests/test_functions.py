@@ -71,3 +71,37 @@ def test_category_mix_covers_all_reasons():
         "curly_brace",
         "policy_phrase",
     }
+
+
+def test_quality_rules_python_matches_column_expressions(spark):
+    """The fused UDF's per-doc Python rules must agree with the
+    Column-expression implementation (same order, same thresholds)."""
+    from pyspark.sql import functions as F
+
+    from deidentify_spark.functions.fused import top_2gram_frac
+    from deidentify_spark.functions.quality import (
+        quality_drop_reason,
+        quality_metrics,
+        quality_post_reason_py,
+        quality_pre_reason_py,
+    )
+
+    texts = [d["text"] for d in DOCS[:400] if d["true_lang"] == "en"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m = quality_metrics(F.col("text"), CFG)
+    col_reason = quality_drop_reason(m, F.lit(None).cast("double"), CFG)
+    col_rows = df.select("text", col_reason.alias("r")).collect()
+
+    for row in col_rows:
+        pre = quality_pre_reason_py(row.text, CFG)
+        py = pre
+        if py is None:
+            if top_2gram_frac(row.text) > CFG.max_top_2gram_frac:
+                py = "top_ngram_repetition"
+            else:
+                py = quality_post_reason_py(row.text, CFG)
+        col = row.r
+        # the Column path cannot see top_ngram (masked null here); align
+        if col is None and py == "top_ngram_repetition":
+            col = "top_ngram_repetition"
+        assert py == col, (py, col, row.text[:120])

@@ -392,3 +392,32 @@ def test_address_label_preserved(d, corpus):
     for addr in corpus["international_addresses"]:
         out = d.address(addr)
         assert out != addr
+
+
+def test_pass_gating_byte_identical(d, corpus):
+    """The digit/'@' fast-path gates in text() must be a pure no-op:
+    compare against an ungated pass-by-pass run on every corpus text."""
+
+    def ungated(dd, text):
+        if text == "":
+            return ""
+        r = text
+        r = dd._process_emails(r)
+        r = dd._process_phones(r)
+        r = dd._process_ssns(r, text)
+        r = dd._process_credit_cards(r)
+        r = dd._process_context_addresses(r)
+        r = dd._process_special_addresses(r)
+        r = dd._process_names(r)
+        r = dd._process_standard_addresses(r)
+        return r
+
+    texts = (
+        corpus["paragraphs"]
+        + [corpus["basic_example_text"], corpus["international_text"]]
+        + corpus["international_addresses"]
+        + [c["text"] for c in corpus["text_cases"]]
+        + ["no digits here at all", "Plain Words Only", "", "a@b", "@", "5"]
+    )
+    for t in texts:
+        assert d.text(t) == ungated(d, t), t[:80]
