@@ -366,6 +366,29 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def salted_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (skew-safe); result identical to a
+    plain GROUP BY, which is exactly what the oracle checks."""
+    from deidentify_spark.operators.tabular import salted_group_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return salted_group_count(docs, "source", n_salts=8, agg_col="n_chars").orderBy(
+        "source"
+    )
+
+
+def table_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference Table/Slices semantics over the customer table: c_name
+    scrubbed as a name column, everything else generic-passthrough."""
+    from deidentify_spark.operators.tabular import deidentify_table
+
+    cust = _t(spark, sf_dir, "customer")
+    out = deidentify_table(cust, SECRET_KEY, {"c_name": "name"})
+    return out.select("c_custkey", F.col("c_name").alias("scrubbed_name")).orderBy(
+        "c_custkey"
+    )
+
+
 def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deidentify_spark.operators.dedup import simhash_candidates
 
@@ -461,6 +484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_documents": token_counts_documents,
         "sessionization_events": sessionization_events,
         "sliding_window_events": sliding_window_events,
+        "salted_docs_by_source": salted_docs_by_source,
+        "table_scrub_customers": table_scrub_customers,
         "simhash_candidates_documents": simhash_candidates_documents,
         "winnowing_fingerprints_documents": winnowing_fingerprints_documents,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
@@ -719,6 +744,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS sum_value
             FROM s GROUP BY user_id, sid
             ORDER BY user_id, session_start
+        """,
+        "salted_docs_by_source": """
+            SELECT source, COUNT(*) AS n_rows,
+                   ROUND(SUM(n_chars), 2) AS sum_n_chars
+            FROM documents GROUP BY source ORDER BY source
         """,
         "sliding_window_events": """
             WITH wins AS (

@@ -1,0 +1,100 @@
+"""Tabular de-identification: the reference's Table/Slices API surface on
+DataFrames (deidentify.go:171-215), plus skew-safe aggregation helpers.
+
+Semantics preserved from the reference:
+* every column has a semantic type (name/email/phone/ssn/credit_card/
+  address/generic); generic passes through unchanged
+  (deidentify.go:296-299);
+* null stays null (deidentify.go:194-197), '' stays ''
+  (deidentify.go:689-692);
+* replacements are pure in (secret_key, type, value) — the per-column
+  scrub is a narrow map, no shuffle, no shared state;
+* missing types are inferred from the FIRST 10 rows by regex scoring
+  (deidentify.go:488-502, 789-841) — here a driver-side limit(10) on a
+  deterministic order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deidentify_spark.functions.scrub import scrub_column_udf
+from deidentify_spark.oracle import Deidentifier
+
+
+def infer_column_types(
+    df: DataFrame, columns: list[str] | None = None, order_by: str | None = None
+) -> dict[str, str]:
+    """Infer a semantic PII type per column from the first 10 rows.
+
+    The reference samples the FIRST 10 rows; Spark's limit() without an
+    order is nondeterministic, so pass ``order_by`` (any unique column)
+    for reproducible inference — mirroring SURVEY.md §2.D's fidelity
+    note.
+    """
+    columns = columns or df.columns
+    sample_df = df.select(*columns)
+    if order_by:
+        sample_df = sample_df.orderBy(order_by)
+    rows = sample_df.limit(10).collect()
+    data = [["" if row[c] is None else str(row[c]) for c in columns] for row in rows]
+    oracle = Deidentifier("unused-inference-key")  # inference is key-free
+    types = oracle.infer_column_types(data)
+    return dict(zip(columns, types))
+
+
+def deidentify_table(
+    df: DataFrame,
+    secret_key: str,
+    column_types: dict[str, str] | None = None,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Per-column typed scrub of a whole DataFrame (reference Table/Slices).
+
+    Columns absent from ``column_types`` (or typed 'generic') pass
+    through untouched — including non-string columns, which are never
+    coerced unless they carry a PII type (then stringified, matching the
+    reference's fmt.Sprintf coercion, deidentify.go:199).
+    """
+    if column_types is None:
+        column_types = infer_column_types(df, order_by=order_by)
+    out_cols = []
+    for c in df.columns:
+        t = column_types.get(c, "generic")
+        if t == "generic":
+            out_cols.append(F.col(c))
+        else:
+            scrub = scrub_column_udf(secret_key, t, c)
+            out_cols.append(scrub(F.col(c).cast("string")).alias(c))
+    return df.select(*out_cols)
+
+
+def salted_group_count(
+    df: DataFrame, key_col: str, n_salts: int = 16, agg_col: str | None = None
+) -> DataFrame:
+    """Two-phase (salted) aggregation for skewed keys.
+
+    Phase 1 pre-aggregates on (key, salt) — the hot key's rows spread
+    over ``n_salts`` reducers — phase 2 merges the partials. Results are
+    identical to a plain groupBy (count/sum are associative); only the
+    shuffle layout changes, which is the point at 100 TB with Zipf-hot
+    hosts. AQE's skew handling covers joins; this covers aggregations.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            *(
+                [F.sum(agg_col).alias("_sum")]
+                if agg_col
+                else []
+            ),
+        )
+    )
+    aggs = [F.sum("_cnt").alias("n_rows")]
+    if agg_col:
+        aggs.append(F.round(F.sum("_sum"), 2).alias(f"sum_{agg_col}"))
+    return partial.groupBy(key_col).agg(*aggs)

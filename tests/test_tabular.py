@@ -1,0 +1,68 @@
+"""Tabular API parity with the oracle (reference Table/Slices semantics)
+and salted-aggregation correctness."""
+
+from pyspark.sql import functions as F
+
+from deidentify_spark.operators.tabular import (
+    deidentify_table,
+    infer_column_types,
+    salted_group_count,
+)
+from deidentify_spark.oracle import Deidentifier
+
+KEY = "test-secret-key"
+
+
+def test_table_scrub_matches_oracle(spark):
+    rows = [
+        (1, "John Doe", "john.doe@example.com", "555-123-4567", "active"),
+        (2, "Jane Smith", "jane.smith@company.org", "(555) 987-6543", "inactive"),
+        (3, None, "", "555.111.2222", "active"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, email string, phone string, status string"
+    )
+    types = {"name": "name", "email": "email", "phone": "phone"}
+    out = {r.id: r for r in deidentify_table(df, KEY, types).collect()}
+
+    d = Deidentifier(KEY)
+    assert out[1].name == d.deidentify_value("John Doe", "name", "name")
+    assert out[1].email == d.deidentify_value("john.doe@example.com", "email", "email")
+    assert out[2].phone == d.deidentify_value("(555) 987-6543", "phone", "phone")
+    # null stays null, '' stays '', generic/untyped untouched
+    assert out[3].name is None
+    assert out[3].email == ""
+    assert out[1].status == "active" and out[1].id == 1
+
+
+def test_inference_on_dataframe(spark):
+    rows = [
+        ("john@example.com", "John Doe", "(555) 123-4567", "x1"),
+        ("jane@company.org", "Jane Smith", "555-987-6543", "x2"),
+    ]
+    df = spark.createDataFrame(rows, "a string, b string, c string, d string")
+    types = infer_column_types(df, order_by="a")
+    assert types == {"a": "email", "b": "name", "c": "phone", "d": "generic"}
+    # end-to-end: inferred scrub changes PII columns, keeps generic
+    out = deidentify_table(df, KEY, types).collect()
+    assert out[0].d in ("x1", "x2")
+    assert "@" in out[0].a and out[0].a not in ("john@example.com", "jane@company.org")
+
+
+def test_salted_group_count_equals_plain(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 7).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    salted = {
+        (r.k): (r.n_rows, r.sum_v)
+        for r in salted_group_count(df, "k", n_salts=8, agg_col="v")
+        .withColumnRenamed("sum_v", "sum_v")
+        .collect()
+    }
+    plain = {
+        r.k: (r.n, round(r.s, 2))
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert salted == plain
