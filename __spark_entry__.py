@@ -108,6 +108,62 @@ def q5_supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.02, 0.06))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING-style: orders whose total quantity exceeds 150."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def corr_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery form: customers with balance above their
+    nation's average (decorrelated to a window/join plan in Spark)."""
+    cust = _t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window as W
+
+    nation_avg = F.avg("c_acctbal").over(W.partitionBy("c_nationkey"))
+    return (
+        cust.withColumn("nation_avg", nation_avg)
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("nation_avg", 4).alias("nation_avg"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def semi_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
@@ -465,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_supplier_volume_by_nation": q5_supplier_volume_by_nation,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_orders": q18_large_orders,
+        "corr_customers_above_nation_avg": corr_customers_above_nation_avg,
         "semi_customers_with_open_orders": semi_customers_with_open_orders,
         "anti_customers_without_orders": anti_customers_without_orders,
         "rollup_orders_status_priority": rollup_orders_status_priority,
@@ -532,6 +591,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
             ORDER BY r_name, n_name
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.06
+              AND l_quantity < 24
+        """,
+        "q18_large_orders": """
+            SELECT o_orderkey, o_custkey,
+                   ROUND(o_totalprice, 2) AS total_price,
+                   total_qty
+            FROM (
+                SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(l_quantity) > 150
+            ) big
+            JOIN orders ON big.l_orderkey = o_orderkey
+            ORDER BY o_orderkey
+        """,
+        "corr_customers_above_nation_avg": """
+            SELECT c_custkey, c_nationkey,
+                   ROUND(c_acctbal, 2) AS acctbal,
+                   ROUND(nation_avg, 4) AS nation_avg
+            FROM (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       AVG(c_acctbal) OVER (PARTITION BY c_nationkey)
+                           AS nation_avg
+                FROM customer
+            )
+            WHERE c_acctbal > nation_avg
+            ORDER BY c_custkey
         """,
         "semi_customers_with_open_orders": """
             SELECT c_custkey, c_name

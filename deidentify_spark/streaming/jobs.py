@@ -95,6 +95,60 @@ def stream_windowed_counts(
     )
 
 
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """Custom stateful operator: emit each url exactly once (its first
+    sighting), deduplicating ACROSS micro-batches via per-key state
+    (applyInPandasWithState). The streaming analogue of exact dedup for
+    a continuously-ingested crawl; state survives restarts through the
+    query checkpoint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        StructField as SF,
+        StructType as ST,
+    )
+
+    out_schema = ST(
+        [
+            SF("url", StringType()),
+            SF("first_ts", TimestampType()),
+        ]
+    )
+    state_schema = ST([SF("seen", IntegerType())])
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter(())
+        first_ts = None
+        for pdf in pdfs:
+            ts = pdf["warc_ts"].min()
+            if first_ts is None or (ts is not None and ts < first_ts):
+                first_ts = ts
+        state.update((1,))
+        return iter([pd.DataFrame({"url": [key[0]], "first_ts": [first_ts]})])
+
+    reader = spark.readStream.schema(PAGES_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_path)
+    return (
+        pages.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_sessionization(
     spark: SparkSession,
     input_path: str,

@@ -154,3 +154,45 @@ def test_streaming_sessionization(spark, tmp_path):
     }
     assert ("2024-03-01 09:00:00", 2) in rows, rows
     assert ("2024-03-01 11:00:00", 1) in rows, rows
+
+
+def test_stateful_stream_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState: each url emitted once across micro-batches
+    and across query restarts (state in the checkpoint)."""
+    from deidentify_spark.streaming.jobs import stream_dedup_first_seen
+
+    inp = str(tmp_path / "pages")
+    out = str(tmp_path / "dedup_out")
+    ckpt = str(tmp_path / "dedup_ckpt")
+
+    p1 = generate_pages(spark, 80, seed=21, partitions=2).select(*PAGE_COLUMNS)
+    p1.write.parquet(inp)
+    time.sleep(1.1)
+    # second file: 40 duplicate urls (same seed range) + 40 new ones
+    dup = generate_pages(spark, 40, seed=21, partitions=1).select(*PAGE_COLUMNS)
+    new = generate_pages(spark, 120, seed=21, partitions=1).select(*PAGE_COLUMNS).where(
+        F.col("url").isin([r.url for r in
+            generate_pages(spark, 120, seed=21, partitions=1).select("url").collect()[80:]])
+    )
+    dup.union(new).write.mode("append").parquet(inp)
+
+    def run():
+        q = (
+            stream_dedup_first_seen(spark, inp)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run()
+    urls = [r.url for r in spark.read.parquet(out).collect()]
+    assert len(urls) == len(set(urls)), "stream emitted a url twice"
+    assert len(set(urls)) == 120  # 80 + 40 genuinely new
+
+    # restart over the same input: nothing new emitted (state persisted)
+    run()
+    assert spark.read.parquet(out).count() == 120
