@@ -14,7 +14,18 @@ oracle entry -> rows-only check.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Make deidentify_spark importable on the driver AND (via PYTHONPATH,
+# best-effort before the JVM exists) in forked python workers, regardless
+# of the caller's working directory.
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
