@@ -74,6 +74,7 @@ def fused_filter_scrub_udf(
     min_lang_conf: float = 0.35,
     max_perplexity: float = 1500.0,
     quality: QualityConfig | None = None,
+    detect_ips: bool = False,
 ):
     qcfg = quality or QualityConfig()
 
@@ -81,7 +82,10 @@ def fused_filter_scrub_udf(
     def fused(text: pd.Series) -> pd.DataFrame:
         from deidentify_spark.functions.langid import predict_batch
         from deidentify_spark.functions.perplexity import perplexity
-        from deidentify_spark.functions.scrub import CountingDeidentifier
+        from deidentify_spark.functions.scrub import (
+            CountingDeidentifier,
+            CountingExtendedDeidentifier,
+        )
 
         txt = text.fillna("").tolist()
         n = len(txt)
@@ -110,7 +114,8 @@ def fused_filter_scrub_udf(
                 r = "low_lang_conf"
             reason[i] = r
 
-        d = CountingDeidentifier(secret_key)
+        engine = CountingExtendedDeidentifier if detect_ips else CountingDeidentifier
+        d = engine(secret_key)
         scrubbed: list[str | None] = [None] * n
         hits: list[dict | None] = [None] * n
         for i in range(n):

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 )
 
 from deidentify_spark.oracle import Deidentifier
+from deidentify_spark.oracle.extensions import ExtendedDeidentifier
 
 SCRUB_SCHEMA = StructType(
     [
@@ -30,13 +31,10 @@ SCRUB_SCHEMA = StructType(
 )
 
 
-class CountingDeidentifier(Deidentifier):
-    """Oracle engine that tallies replacements by PII type.
-
-    Counts every detector hit (including memoized repeats), giving the
-    per-document ``pii_hits`` map for the metrics table without touching
-    the oracle's replacement semantics.
-    """
+class _CountingMixin:
+    """Tallies replacements by PII type (every detector hit, including
+    memoized repeats) for the ``pii_hits`` metrics map, without touching
+    replacement semantics."""
 
     def __init__(self, secret_key: str) -> None:
         super().__init__(secret_key)
@@ -49,6 +47,14 @@ class CountingDeidentifier(Deidentifier):
         if value != "" and data_type != "generic":
             self.hits[data_type] = self.hits.get(data_type, 0) + 1
         return super().deidentify_value(value, data_type, column_name)
+
+
+class CountingDeidentifier(_CountingMixin, Deidentifier):
+    """Reference-parity counting engine."""
+
+
+class CountingExtendedDeidentifier(_CountingMixin, ExtendedDeidentifier):
+    """Counting engine with the opt-in IP detector extension."""
 
 
 def scrub_udf(secret_key: str):

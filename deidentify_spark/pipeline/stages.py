@@ -49,6 +49,10 @@ class PipelineConfig:
     n_buckets: int = 64  # url-hash lineage buckets (deterministic, not
     # spark_partition_id, so metrics are stable across cluster sizes)
     repartition: int | None = None  # explicit url-hash repartition width
+    # Opt-in IP detection (EXTENSION: the reference has no IP detector;
+    # enabling this intentionally departs from reference byte-parity —
+    # see oracle/extensions.py).
+    detect_ips: bool = False
 
 
 def run_pipeline(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -77,6 +81,7 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
         min_lang_conf=cfg.min_lang_conf,
         max_perplexity=cfg.max_perplexity,
         quality=cfg.quality,
+        detect_ips=cfg.detect_ips,
     )
     df = df.withColumn("_r", fused(F.col("text")))
 

@@ -421,3 +421,25 @@ def test_pass_gating_byte_identical(d, corpus):
     )
     for t in texts:
         assert d.text(t) == ungated(d, t), t[:80]
+
+
+def test_golden_scrub_outputs_frozen(d, corpus):
+    """Byte-level regression pin: the oracle's outputs over the reference
+    corpus are frozen in fixtures/pii_corpus_scrubbed.json (key
+    'test-secret-key'). Any pattern/generator drift fails here first."""
+    golden = json.loads((FIXTURES / "pii_corpus_scrubbed.json").read_text())
+    assert golden["secret_key"] == "test-secret-key"
+    for text, expected in zip(corpus["paragraphs"], golden["paragraphs_scrubbed"]):
+        assert d.text(text) == expected
+    assert d.text(corpus["basic_example_text"]) == golden["basic_example_scrubbed"]
+    assert (
+        d.text(corpus["international_text"])
+        == golden["international_text_scrubbed"]
+    )
+    for addr, expected in zip(
+        corpus["international_addresses"],
+        golden["international_addresses_scrubbed"],
+    ):
+        assert d.address(addr) == expected
+    for tc in corpus["text_cases"]:
+        assert d.text(tc["text"]) == golden["text_cases_scrubbed"][tc["id"]]
