@@ -197,23 +197,26 @@ def main() -> None:
     env = dict(os.environ)
     lo = max(CPUS // 4, 1)
     legs, hw = {}, {}
+
+    def _sub(args: list[str]) -> float:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            capture_output=True,
+            text=True,
+            env=env,
+            check=True,
+        )
+        return float(out.stdout.strip().splitlines()[-1])
+
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     for cores in (lo, CPUS):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--leg", str(cores), str(PIPELINE_DOCS)],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
+        # best-of-N against interference from co-tenants / turbo wander
+        legs[cores] = min(
+            _sub(["--leg", str(cores), str(PIPELINE_DOCS)]) for _ in range(trials)
         )
-        legs[cores] = float(out.stdout.strip().splitlines()[-1])
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--hwleg", str(cores), "1500"],
-            capture_output=True,
-            text=True,
-            env=env,
-            check=True,
+        hw[cores] = max(
+            _sub(["--hwleg", str(cores), "1500"]) for _ in range(trials)
         )
-        hw[cores] = float(out.stdout.strip().splitlines()[-1])
 
     thr_lo = PIPELINE_DOCS / legs[lo]
     thr_hi = PIPELINE_DOCS / legs[CPUS]

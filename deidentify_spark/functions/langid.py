@@ -30,6 +30,11 @@ _MASK = _DIM - 1
 _M1 = np.uint64(0x9E3779B97F4A7C15)
 _M2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _SOFTMAX_TEMP = 24.0
+# Language ID needs only a prefix: char-n-gram stats converge within a
+# couple KB (fastText/CLD cap similarly). Bounds per-doc cost on huge
+# pages — featurization is O(len) and a 500 KB page would otherwise cost
+# 250x a normal doc in the gate stage.
+_MAX_CHARS = 4096
 
 _MODEL: tuple[np.ndarray, list[str]] | None = None
 
@@ -69,7 +74,7 @@ def _get_model() -> tuple[np.ndarray, list[str]]:
 
 def _sparse_counts(s: str) -> tuple[np.ndarray, np.ndarray]:
     """(bucket indices, counts) of the hashed n-grams — sparse form."""
-    c = _codepoints(s.lower())
+    c = _codepoints(s[:_MAX_CHARS].lower())
     if c.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
     parts = [(c * _M1) & _MASK]

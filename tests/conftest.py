@@ -13,7 +13,7 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "4g")
+        .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse-tests")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

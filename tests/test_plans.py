@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the optimizations the engine relies on
+at 100 TB must be visible in the executed plan, not assumed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    plan = _plan(entry_mod.q1_pricing_summary(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # projection pruning: the scan must not read join keys it doesn't need
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+
+
+def test_q5_broadcasts_all_dimensions(spark):
+    plan = _plan(entry_mod.q5_supplier_volume_by_nation(spark, SF))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_never_reads_html(spark, tmp_path):
+    from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+    from deidentify_spark.sources.pages import PAGE_COLUMNS, generate_pages
+
+    path = str(tmp_path / "pages")
+    generate_pages(spark, 50, seed=3, partitions=2).select(*PAGE_COLUMNS).write.parquet(path)
+    out = run_pipeline(spark.read.parquet(path), PipelineConfig(secret_key="k"))
+    plan = _plan(out)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "html" not in read_schema, read_schema
+    # exactly one python stage in the whole pipeline
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing co-locates the join: with both sides bucketed on the key,
+    the sort-merge join runs with NO exchange (the 100 TB pattern for
+    repeated large-large joins)."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+    orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("orders_b")
+    lineitem.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+        "overwrite"
+    ).saveAsTable("lineitem_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffled"
+        # and it computes the right thing
+        n = joined.count()
+        plain = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert n == plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_fused_stage_handles_empty_partitions(spark):
+    from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+
+    df = spark.createDataFrame(
+        [], "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).repartition(4)
+    out = run_pipeline(df, PipelineConfig(secret_key="k"))
+    assert out.count() == 0

@@ -66,3 +66,21 @@ def test_salted_group_count_equals_plain(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_examples_run(spark):
+    """Every examples/ script must at least execute (library demos)."""
+    import pathlib
+    import subprocess
+    import sys as _sys
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for script in ["basic.py", "international.py"]:  # non-Spark ones (fast)
+        r = subprocess.run(
+            [_sys.executable, str(root / "examples" / script)],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        assert r.stdout.strip()
