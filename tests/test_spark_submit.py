@@ -1,0 +1,45 @@
+"""The north_star launch path: spark-submit --py-files with the packaged
+library, checkpointed, resumable via plain re-submit."""
+
+import json
+import pathlib
+import subprocess
+import zipfile
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def test_spark_submit_pipeline_and_resume(tmp_path):
+    pkg_zip = tmp_path / "deidentify_spark.zip"
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for f in (ROOT / "deidentify_spark").rglob("*.py"):
+            zf.write(f, f.relative_to(ROOT))
+    out_dir = tmp_path / "out"
+
+    def submit():
+        r = subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", str(pkg_zip),
+                str(ROOT / "jobs" / "run_pipeline_job.py"),
+                "--synthesize", "400",
+                "--output", str(out_dir),
+                "--secret-key", "test-secret-key",
+                "--n-waves", "4",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=400,
+            cwd=str(tmp_path),  # NOT the repo root: --py-files must carry the pkg
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    s1 = submit()
+    assert s1["status"] == "ok" and s1["docs_out"] == 400
+    s2 = submit()  # plain re-submit resumes: everything already done
+    assert s2["docs_out"] == 400
+    assert s2["seconds"] < s1["seconds"]
