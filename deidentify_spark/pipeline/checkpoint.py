@@ -110,21 +110,35 @@ def run_checkpointed(
         )
     done = set(manifest["done_buckets"])
 
-    annotated = run_pipeline(pages, cfg)
+    spark = pages.sparkSession
+    scrubbed_path = os.path.join(output_path, "scrubbed")
+    # The wave filter must sit BELOW the expensive fused UDF: filter the
+    # PAGES by the same url-hash bucket expression run_pipeline uses, so
+    # each wave's Python stage only ever sees its own docs (filtering the
+    # annotated output instead would re-run the whole pipeline over all
+    # docs once per wave — n_waves x the compute).
+    bucket_of_url = F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
     for wave in range(n_waves):
         wave_buckets = [
             b for b in range(cfg.n_buckets) if b % n_waves == wave
         ]
         if set(wave_buckets) <= done:
             continue
-        part = annotated.where(F.col("bucket").isin(wave_buckets))
+        wave_pages = pages.where(bucket_of_url.isin(wave_buckets))
+        part = run_pipeline(wave_pages, cfg)
         (
             part.write.mode("append")
             .partitionBy("bucket")
-            .parquet(os.path.join(output_path, "scrubbed"))
+            .parquet(scrubbed_path)
+        )
+        # Metrics from the just-written files (partition-pruned read of
+        # only this wave's buckets) — recomputing `part` for a second
+        # action would run the Python stage twice per wave.
+        written = spark.read.parquet(scrubbed_path).where(
+            F.col("bucket").isin(wave_buckets)
         )
         (
-            lineage_metrics(part)
+            lineage_metrics(written)
             .write.mode("append")
             .parquet(os.path.join(output_path, "metrics"))
         )

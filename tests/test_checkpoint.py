@@ -93,3 +93,22 @@ def test_completed_run_is_noop(spark, tmp_path):
 def test_iceberg_detection_returns_bool(spark):
     # sandbox has no Iceberg jar; the probe must answer cleanly either way
     assert iceberg_available(spark) in (True, False)
+
+
+def test_wave_filter_below_python_stage(spark):
+    """The wave's bucket filter must execute BEFORE the fused Python
+    stage (filtering the annotated output instead would re-run the whole
+    pipeline once per wave)."""
+    from pyspark.sql import functions as F
+
+    from deidentify_spark.pipeline.stages import run_pipeline
+
+    pages = generate_pages(spark, 50, seed=9, partitions=2)
+    cfg = _cfg()
+    bucket_of_url = F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
+    wave = run_pipeline(pages.where(bucket_of_url.isin([0, 4, 8])), cfg)
+    plan = wave._jdf.queryExecution().executedPlan().toString()
+    i_udf = plan.index("ArrowEvalPython")
+    i_filter = plan.index("Filter cast(pmod(xxhash64(url")
+    # tree printing puts children (executed first) after parents
+    assert i_filter > i_udf, "bucket filter did not land below the python stage"
