@@ -521,7 +521,9 @@ def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deidentify_spark.sources.pages import generate_pages
 
     pages = generate_pages(spark, 2000, seed=42, partitions=8)
-    out = run_pipeline(pages, PipelineConfig(secret_key=SECRET_KEY))
+    # persist: lineage_metrics aggregates the annotated plan in three
+    # subtrees; without materialization the fused stage would run 3x
+    out = run_pipeline(pages, PipelineConfig(secret_key=SECRET_KEY)).persist()
     return lineage_metrics(out).select(
         "bucket", "docs_in", "docs_out", "drop_reason_counts"
     )

@@ -18,7 +18,13 @@ from pyspark.sql import functions as F
 
 
 def lineage_metrics(annotated: DataFrame) -> DataFrame:
-    """Aggregate the run_pipeline output into the metrics table."""
+    """Aggregate the run_pipeline output into the metrics table.
+
+    The result references ``annotated`` in three aggregation subtrees;
+    feed it a MATERIALIZED input (the written scrubbed table, as
+    pipeline/checkpoint.py does, or a persisted DataFrame) — handing it
+    the raw run_pipeline plan would execute the fused Python stage once
+    per subtree."""
     base = annotated.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("docs_in"),
         F.sum(F.col("keep").cast("long")).alias("docs_out"),
