@@ -253,6 +253,25 @@ def setop_high_value_minus_urgent(spark: SparkSession, sf_dir: str) -> DataFrame
     return high.exceptAll(urgent).orderBy("o_orderkey")
 
 
+def setop_intersect_high_value_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    high = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return high.intersect(urgent).orderBy("o_orderkey")
+
+
+def distinct_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per class (the approx_count_distinct twin is
+    engine-specific and checked rows-only in ann/langid queries)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("text").alias("n_texts"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def json_events_avg_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
@@ -544,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_customers_per_nation": window_top3_customers_per_nation,
         "window_customer_running_spend": window_customer_running_spend,
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
+        "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
+        "distinct_counts_documents": distinct_counts_documents,
         "json_events_avg_by_type": json_events_avg_by_type,
         "monthly_order_volume": monthly_order_volume,
         "events_tumbling_10min": events_tumbling_10min,
@@ -693,6 +714,19 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT ALL
             SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
             ORDER BY o_orderkey
+        """,
+        "setop_intersect_high_value_urgent": """
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 100000
+            INTERSECT
+            SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+            ORDER BY o_orderkey
+        """,
+        "distinct_counts_documents": """
+            SELECT COUNT(DISTINCT lang) AS n_langs,
+                   COUNT(DISTINCT source) AS n_sources,
+                   COUNT(DISTINCT text) AS n_texts,
+                   COUNT(*) AS n_docs
+            FROM documents
         """,
         "json_events_avg_by_type": """
             SELECT event_type,
