@@ -475,11 +475,12 @@ def table_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deidentify_spark.operators.dedup import simhash_candidates
+def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash candidates verified by exact Hamming distance (<=3)."""
+    from deidentify_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_candidates(docs).orderBy("doc_a", "doc_b")
+    return simhash_near_dups(docs, max_hamming=3).orderBy("doc_a", "doc_b")
 
 
 def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,7 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_events": sliding_window_events,
         "salted_docs_by_source": salted_docs_by_source,
         "table_scrub_customers": table_scrub_customers,
-        "simhash_candidates_documents": simhash_candidates_documents,
+        "simhash_near_dups_documents": simhash_near_dups_documents,
         "winnowing_fingerprints_documents": winnowing_fingerprints_documents,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "multimodal_decode_features": multimodal_decode_features,

@@ -191,6 +191,31 @@ def simhash_udf(bits: int = 64):
     return simhash
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Verified SimHash near-dups: candidate pairs from quadrant buckets
+    (see simhash_candidates), then an exact Hamming-distance filter via
+    bit_count(xor) — all JVM-side, no cross join. Complete for
+    Hamming <= 3 by the pigeonhole guarantee."""
+    sig = df.select(id_col, simhash_udf()(F.col(text_col)).alias("sig"))
+    cands = simhash_candidates(df, text_col, id_col)
+    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -184,3 +184,16 @@ def test_multimodal_plumbing(spark):
         decode_assets(assets, mode="real")
     with _pytest.raises(NotImplementedError):
         frame_sample_udf()
+
+
+def test_simhash_near_dups_verified(spark, corpus):
+    from deidentify_spark.operators.dedup import simhash_near_dups, simhash_udf
+
+    extra = [(1000 + i, r.text + " tail") for i, r in enumerate(corpus.collect()[:10])]
+    df = corpus.union(spark.createDataFrame(extra, "doc_id long, text string"))
+    out = simhash_near_dups(df, max_hamming=3).collect()
+    assert out
+    sigs = {r.doc_id: r.sig for r in df.select("doc_id", simhash_udf()(F.col("text")).alias("sig")).collect()}
+    for r in out:
+        true_h = bin((sigs[r.doc_a] ^ sigs[r.doc_b]) & ((1 << 64) - 1)).count("1")
+        assert r.hamming == true_h <= 3
