@@ -246,6 +246,20 @@ def window_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("o_custkey", "o_orderkey")
 
 
+def percentile_order_value_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90) per priority."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def setop_high_value_minus_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     high = orders.where(F.col("o_totalprice") > 100000).select("o_orderkey")
@@ -563,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_part_brand_size": cube_part_brand_size,
         "window_top3_customers_per_nation": window_top3_customers_per_nation,
         "window_customer_running_spend": window_customer_running_spend,
+        "percentile_order_value_by_priority": percentile_order_value_by_priority,
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "distinct_counts_documents": distinct_counts_documents,
@@ -709,6 +724,13 @@ def oracle_sql() -> dict[str, str]:
                    ), 2) AS running_spend
             FROM orders
             ORDER BY o_custkey, o_orderkey
+        """,
+        "percentile_order_value_by_priority": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "setop_high_value_minus_urgent": """
             SELECT o_orderkey FROM orders WHERE o_totalprice > 100000

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import regex
 
-from .core import TYPE_GENERIC, Deidentifier, hash_to_index
+from .core import Deidentifier, hash_to_index
 
 TYPE_IP = "ip"
 

@@ -106,3 +106,21 @@ def test_pipeline_deterministic_across_partitioning(spark):
     ra = {r.url: (r.keep, r.drop_reason, r.scrubbed_text) for r in a.collect()}
     rb = {r.url: (r.keep, r.drop_reason, r.scrubbed_text) for r in b.collect()}
     assert ra == rb
+
+
+def test_masked_scrub_udf_api(spark):
+    """The standalone masked scrub UDF (exported API surface): masked
+    rows pass through as nulls, others match the oracle."""
+    from deidentify_spark.functions.scrub import scrub_udf
+
+    df = spark.createDataFrame(
+        [(1, "Mail me at a@b.com today", True), (2, "SSN 123-45-6789", False)],
+        "id long, text string, m boolean",
+    )
+    rows = {r.id: r for r in df.select(
+        "id", scrub_udf(KEY)(F.col("text"), F.col("m")).alias("s")
+    ).collect()}
+    d = Deidentifier(KEY)
+    assert rows[1].s.scrubbed_text == d.text("Mail me at a@b.com today")
+    assert rows[1].s.pii_hits.get("email") == 1
+    assert rows[2].s.scrubbed_text is None and rows[2].s.pii_hits is None
