@@ -57,6 +57,9 @@ BENCH_QUERIES = [
     "events_tumbling_10min",
     "json_events_avg_by_type",
     "dedup_exact_documents",
+    "ngram_jaccard_near_dups",
+    "minhash_lsh_candidates_documents",
+    "sessionization_events",
     "text_stats_documents",
     "ann_cosine_top10",
     "scrub_documents",
