@@ -725,6 +725,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_custkey, o_orderkey
         """,
+        "simhash_near_dups_documents": __import__(
+            "deidentify_spark.operators.dedup", fromlist=["simhash_oracle_sql"]
+        ).simhash_oracle_sql("documents", max_hamming=3),
         "percentile_order_value_by_priority": """
             SELECT o_orderpriority,
                    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

@@ -161,34 +161,99 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash_udf(bits: int = 64):
-    """Vectorized 64-bit SimHash over whitespace words."""
+# SimHash geometry: 60-bit signatures (word hash = first 15 hex chars of
+# md5, so DuckDB can replicate the whole operator for the driver oracle),
+# banded into 4 quadrants of 15 bits — Hamming<=3 pairs are guaranteed to
+# share a quadrant (pigeonhole).
+SIMHASH_BITS = 60
+SIMHASH_QUADS = 4
+_QUAD_BITS = SIMHASH_BITS // SIMHASH_QUADS  # 15
+_QUAD_MASK = (1 << _QUAD_BITS) - 1
+
+
+def simhash_py(text: str) -> int:
+    """60-bit SimHash over whitespace words (pure function; the UDF body
+    and the tests share it)."""
+    import hashlib
+
+    words = text.lower().split()
+    if not words:
+        return 0
+    hs = np.array(
+        [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in words],
+        dtype=np.uint64,
+    )
+    sig = 0
+    n = len(hs)
+    for shift in range(SIMHASH_BITS):
+        ones = int(((hs >> np.uint64(shift)) & np.uint64(1)).sum())
+        if 2 * ones - n > 0:
+            sig |= 1 << shift
+    return sig
+
+
+def simhash_udf():
+    """Vectorized 60-bit SimHash over whitespace words (md5-hex word
+    hashing — replicable in ANSI SQL / DuckDB, see SIMHASH_ORACLE_SQL)."""
 
     @F.pandas_udf(LongType())
     def simhash(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text.fillna(""):
-            words = t.lower().split()
-            if not words:
-                out.append(0)
-                continue
-            hs = np.array(
-                [crc32(w.encode()) * 0x9E3779B97F4A7C15 % (1 << 64) for w in words],
-                dtype=np.uint64,
-            )
-            acc = np.zeros(bits, dtype=np.int64)
-            for shift in range(bits):
-                bitvals = (hs >> np.uint64(shift)) & np.uint64(1)
-                acc[shift] += int(bitvals.sum() * 2) - len(hs)
-            sig = 0
-            for shift in range(bits):
-                if acc[shift] > 0:
-                    sig |= 1 << shift
-            # store as signed 64-bit
-            out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
-        return pd.Series(out)
+        return pd.Series([simhash_py(t) for t in text.fillna("")])
 
     return simhash
+
+
+def simhash_oracle_sql(table: str = "documents", max_hamming: int | None = 3) -> str:
+    """Generate the DuckDB SQL that replicates simhash_near_dups (or, with
+    max_hamming=None, simhash_candidates) byte-for-byte: md5-hex word
+    hashes -> per-bit majority -> 60-bit signature -> quadrant buckets ->
+    (optional) bit_count Hamming filter."""
+    bit_sums = ",\n                   ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    quads = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, {q} AS quad, (sig >> {q * _QUAD_BITS}) & {_QUAD_MASK} AS val FROM sigs"
+        for q in range(SIMHASH_QUADS)
+    )
+    ham_select = (
+        f", bit_count(xor(sa.sig, sb.sig)) AS hamming" if max_hamming is not None else ""
+    )
+    ham_where = (
+        f"WHERE bit_count(xor(sa.sig, sb.sig)) <= {max_hamming}"
+        if max_hamming is not None
+        else ""
+    )
+    return f"""
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS w
+                FROM {table}
+            ), hashes AS (
+                SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT AS h FROM words
+            ), bitsums AS (
+                SELECT doc_id,
+                   {bit_sums}
+                FROM hashes GROUP BY doc_id
+            ), sigs AS (
+                SELECT doc_id, {sig_terms} AS sig FROM bitsums
+            ), quads AS (
+                {quads}
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM quads a JOIN quads b
+                  ON a.quad = b.quad AND a.val = b.val AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b{ham_select}
+            FROM cands
+            JOIN sigs sa ON sa.doc_id = doc_a
+            JOIN sigs sb ON sb.doc_id = doc_b
+            {ham_where}
+            ORDER BY doc_a, doc_b
+    """
 
 
 def simhash_near_dups(
@@ -219,7 +284,7 @@ def simhash_near_dups(
 def simhash_candidates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-dup candidates: equal 16-bit SimHash quadrant (Hamming<=3 docs
+    """Near-dup candidates: equal 15-bit SimHash quadrant (Hamming<=3 docs
     must share at least one of 4 quadrants — pigeonhole)."""
     sig = df.select(id_col, simhash_udf()(F.col(text_col)).alias("sig"))
     quads = sig.select(
@@ -229,9 +294,11 @@ def simhash_candidates(
                 *[
                     F.struct(
                         F.lit(q).alias("quad"),
-                        F.shiftright("sig", q * 16).bitwiseAND(F.lit(0xFFFF)).alias("val"),
+                        F.shiftright("sig", q * _QUAD_BITS)
+                        .bitwiseAND(F.lit(_QUAD_MASK))
+                        .alias("val"),
                     )
-                    for q in range(4)
+                    for q in range(SIMHASH_QUADS)
                 ]
             )
         ).alias("qv"),

@@ -78,7 +78,7 @@ def test_simhash_candidates(spark, corpus):
     ids = sorted(sigs)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
                 truth.add((a, b))
     assert truth, "corpus must contain Hamming<=3 pairs"
     pairs = {(r.doc_a, r.doc_b) for r in simhash_candidates(df).collect()}
@@ -195,5 +195,5 @@ def test_simhash_near_dups_verified(spark, corpus):
     assert out
     sigs = {r.doc_id: r.sig for r in df.select("doc_id", simhash_udf()(F.col("text")).alias("sig")).collect()}
     for r in out:
-        true_h = bin((sigs[r.doc_a] ^ sigs[r.doc_b]) & ((1 << 64) - 1)).count("1")
+        true_h = bin(sigs[r.doc_a] ^ sigs[r.doc_b]).count("1")
         assert r.hamming == true_h <= 3
