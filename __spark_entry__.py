@@ -498,13 +498,18 @@ def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing sketch exploded to (doc_id, fingerprint) rows — DuckDB
+    replicates the k-gram hashing and window-min exactly."""
     from deidentify_spark.functions.text_stats import winnowing_fingerprints_udf
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.size(winnowing_fingerprints_udf()(F.col("text"))).alias("n_fingerprints"),
-    ).orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(winnowing_fingerprints_udf()(F.col("text"))).alias("fingerprint"),
+        )
+        .orderBy("doc_id", "fingerprint")
+    )
 
 
 def ann_cosine_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,6 +730,9 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             ORDER BY o_custkey, o_orderkey
         """,
+        "winnowing_fingerprints_documents": __import__(
+            "deidentify_spark.functions.text_stats", fromlist=["winnowing_oracle_sql"]
+        ).winnowing_oracle_sql("documents"),
         "simhash_near_dups_documents": __import__(
             "deidentify_spark.operators.dedup", fromlist=["simhash_oracle_sql"]
         ).simhash_oracle_sql("documents", max_hamming=3),

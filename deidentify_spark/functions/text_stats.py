@@ -37,30 +37,73 @@ def normalized_fingerprint(text: Column) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
+def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash over
+    word k-grams (first 15 hex chars of md5 — DuckDB-replicable), minimum
+    per sliding window of full windows, deduplicated + sorted. The
+    standard near-dup/overlap sketch."""
+    import hashlib
+
+    words = text.lower().split()
+    if len(words) < k:
+        return []
+    hs = np.array(
+        [
+            int(hashlib.md5(" ".join(words[i : i + k]).encode()).hexdigest()[:15], 16)
+            for i in range(len(words) - k + 1)
+        ],
+        dtype=np.int64,
+    )
+    if len(hs) <= window:
+        mins = {int(hs.min())}
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+        mins = set(int(x) for x in sw.min(axis=1))
+    return sorted(mins)
+
+
 def winnowing_fingerprints_udf(k: int = 5, window: int = 4):
-    """Winnowing document fingerprints (Schleimer et al. 2003): rolling
-    hash over k-grams of words, minimum per sliding window, deduplicated.
-    Returns array<long> (sorted) — the standard near-dup/overlap sketch.
-    """
+    """Vectorized wrapper of :func:`winnowing_fingerprints`."""
 
     @F.pandas_udf(ArrayType(LongType()))
     def winnow(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text.fillna(""):
-            words = t.lower().split()
-            if len(words) < k:
-                out.append([])
-                continue
-            hs = np.array(
-                [crc32(" ".join(words[i : i + k]).encode()) for i in range(len(words) - k + 1)],
-                dtype=np.int64,
-            )
-            if len(hs) <= window:
-                mins = {int(hs.min())}
-            else:
-                sw = np.lib.stride_tricks.sliding_window_view(hs, window)
-                mins = set(int(x) for x in sw.min(axis=1))
-            out.append(sorted(mins))
-        return pd.Series(out)
+        return pd.Series([winnowing_fingerprints(t, k, window) for t in text.fillna("")])
 
     return winnow
+
+
+def winnowing_oracle_sql(table: str = "documents", k: int = 5, window: int = 4) -> str:
+    """DuckDB SQL twin of winnowing_fingerprints, exploded to
+    (doc_id, fingerprint) rows: positioned k-grams via list comprehension,
+    md5-hex hashes, window-min over FULL windows only (tail partials are
+    excluded to match the python; docs with <= window grams keep the
+    single global min)."""
+    gram = "||' '||".join(f"w[i+{j}]" for j in range(k))
+    return f"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM {table}
+            ), grams AS (
+                SELECT doc_id,
+                       unnest([{{'pos': i, 'g': {gram}}}
+                               for i in generate_series(1, len(w)-{k - 1})]) AS pg
+                FROM words
+            ), hashes AS (
+                SELECT doc_id, pg.pos AS pos,
+                       ('0x'||substr(md5(pg.g),1,15))::BIGINT AS h,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n
+                FROM grams
+            ), winmins AS (
+                SELECT doc_id, pos, n,
+                       MIN(h) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+                       ) AS fp
+                FROM hashes
+            )
+            SELECT DISTINCT doc_id, fp AS fingerprint
+            FROM winmins
+            WHERE pos <= n - {window} + 1 OR (n <= {window} AND pos = 1)
+            ORDER BY doc_id, fingerprint
+    """
