@@ -477,6 +477,15 @@ def salted_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_profile_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-source n_chars profile (exact
+    interpolated quartiles, numpy inside the group batch)."""
+    from deidentify_spark.operators.tabular import group_quality_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quality_profile(docs, "source", "n_chars").orderBy("source")
+
+
 def table_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference Table/Slices semantics over the customer table: c_name
     scrubbed as a name column, everything else generic-passthrough."""
@@ -599,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionization_events": sessionization_events,
         "sliding_window_events": sliding_window_events,
         "salted_docs_by_source": salted_docs_by_source,
+        "group_profile_docs_by_source": group_profile_docs_by_source,
         "table_scrub_customers": table_scrub_customers,
         "simhash_near_dups_documents": simhash_near_dups_documents,
         "winnowing_fingerprints_documents": winnowing_fingerprints_documents,
@@ -729,6 +739,15 @@ def oracle_sql() -> dict[str, str]:
                    ), 2) AS running_spend
             FROM orders
             ORDER BY o_custkey, o_orderkey
+        """,
+        "group_profile_docs_by_source": """
+            SELECT source,
+                   COUNT(*) AS n_rows,
+                   ROUND(AVG(n_chars), 4) AS mean_value,
+                   ROUND(quantile_cont(n_chars, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.75), 4) AS p75
+            FROM documents GROUP BY source ORDER BY source
         """,
         "winnowing_fingerprints_documents": __import__(
             "deidentify_spark.functions.text_stats", fromlist=["winnowing_oracle_sql"]

@@ -70,6 +70,42 @@ def deidentify_table(
     return df.select(*out_cols)
 
 
+def group_quality_profile(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group value profile via applyInPandas (grouped-map Arrow UDF):
+    exact interpolated quartiles + mean/count computed with numpy inside
+    each group's batch. The grouped-map pattern for per-entity custom
+    logic that built-in aggregates can't express; here the profile itself
+    is chosen to be DuckDB-replicable (quantile_cont) so the driver can
+    value-check the plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    schema = (
+        f"{group_col} string, n_rows long, mean_value double, "
+        "p25 double, p50 double, p75 double"
+    )
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].to_numpy(dtype="float64")
+        q25, q50, q75 = np.percentile(v, [25, 50, 75], method="linear")
+        return pd.DataFrame(
+            {
+                group_col: [pdf[group_col].iloc[0]],
+                "n_rows": [len(v)],
+                "mean_value": [round(float(v.mean()), 4)],
+                "p25": [round(float(q25), 4)],
+                "p50": [round(float(q50), 4)],
+                "p75": [round(float(q75), 4)],
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(
+        profile, schema
+    )
+
+
 def salted_group_count(
     df: DataFrame, key_col: str, n_salts: int = 16, agg_col: str | None = None
 ) -> DataFrame:

@@ -84,3 +84,18 @@ def test_examples_run(spark):
         )
         assert r.returncode == 0, r.stderr[-500:]
         assert r.stdout.strip()
+
+
+def test_group_quality_profile_matches_sql_semantics(spark):
+    import numpy as np
+
+    from deidentify_spark.operators.tabular import group_quality_profile
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 11)] + [("b", 5.0), ("b", 7.0)],
+        "g string, v double",
+    )
+    out = {r.g: r for r in group_quality_profile(df, "g", "v").collect()}
+    assert out["a"].n_rows == 10
+    assert out["a"].p50 == round(float(np.percentile(np.arange(1, 11), 50)), 4)
+    assert out["b"].p25 == 5.5  # linear interpolation between 5 and 7
