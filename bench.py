@@ -211,22 +211,38 @@ def main() -> None:
         )
         return float(out.stdout.strip().splitlines()[-1])
 
+    # Per-trial pairing: all four legs of a trial run back-to-back so the
+    # ratio is taken under the same machine conditions (this box's
+    # co-tenant/turbo noise swings single legs by ~30%); the reported
+    # efficiency is the median across trials.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
-    for cores in (lo, CPUS):
-        # best-of-N against interference from co-tenants / turbo wander
-        legs[cores] = min(
-            _sub(["--leg", str(cores), str(PIPELINE_DOCS)]) for _ in range(trials)
-        )
-        hw[cores] = max(
-            _sub(["--hwleg", str(cores), "1500"]) for _ in range(trials)
-        )
-
-    thr_lo = PIPELINE_DOCS / legs[lo]
-    thr_hi = PIPELINE_DOCS / legs[CPUS]
     ratio = CPUS / lo
-    efficiency = thr_hi / (thr_lo * ratio)
-    hw_scaling = hw[CPUS] / (hw[lo] * ratio)  # hardware's own ceiling
-    eff_normalized = min(efficiency / hw_scaling, 1.0) if hw_scaling > 0 else 0.0
+    per_trial = []
+    for _ in range(trials):
+        t = {
+            "thr_lo": PIPELINE_DOCS / _sub(["--leg", str(lo), str(PIPELINE_DOCS)]),
+            "thr_hi": PIPELINE_DOCS / _sub(["--leg", str(CPUS), str(PIPELINE_DOCS)]),
+            "hw_lo": _sub(["--hwleg", str(lo), "1500"]),
+            "hw_hi": _sub(["--hwleg", str(CPUS), "1500"]),
+        }
+        t["eff_raw"] = t["thr_hi"] / (t["thr_lo"] * ratio)
+        t["hw_scaling"] = t["hw_hi"] / (t["hw_lo"] * ratio)
+        t["eff_vs_hw"] = (
+            min(t["eff_raw"] / t["hw_scaling"], 1.0) if t["hw_scaling"] > 0 else 0.0
+        )
+        per_trial.append(t)
+
+    def _median(key: str) -> float:
+        vals = sorted(t[key] for t in per_trial)
+        mid = len(vals) // 2
+        return vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2
+
+    thr_lo = _median("thr_lo")
+    thr_hi = _median("thr_hi")
+    efficiency = _median("eff_raw")
+    hw_scaling = _median("hw_scaling")
+    eff_normalized = _median("eff_vs_hw")
+    hw = {lo: _median("hw_lo"), CPUS: _median("hw_hi")}
 
     result = {
         "metric": "pipeline docs/sec end-to-end (langid+quality+perplexity+scrub)",
