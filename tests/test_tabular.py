@@ -99,3 +99,41 @@ def test_group_quality_profile_matches_sql_semantics(spark):
     assert out["a"].n_rows == 10
     assert out["a"].p50 == round(float(np.percentile(np.arange(1, 11), 50)), 4)
     assert out["b"].p25 == 5.5  # linear interpolation between 5 and 7
+
+
+def test_tabular_fixture_files(spark):
+    """FIXTURES.md F3: the committed tabular fixtures drive both the
+    scalar oracle and the Spark per-column path."""
+    import json
+    import pathlib
+
+    from deidentify_spark.oracle import Deidentifier
+
+    fixtures = pathlib.Path(__file__).resolve().parent.parent / "fixtures"
+    tf = json.loads((fixtures / "table_fixture.json").read_text())
+    d = Deidentifier(tf["secret_key"])
+    result = d.table(tf["columns"])
+    for col, orig in zip(result, tf["columns"]):
+        for v, o in zip(col["values"], orig["values"]):
+            if o is None:
+                assert v is None
+            elif o == "":
+                assert v == ""
+            else:
+                assert v != o
+
+    sf = json.loads((fixtures / "slices_fixture.json").read_text())
+    out = d.slices(sf["rows"], sf["column_types"], sf["column_names"])
+    assert len(out) == len(sf["rows"]) and out[3] == ["", "", "", ""]
+    for ds in sf["inference_datasets"]:
+        assert d.infer_column_types(ds["rows"]) == ds["expected_types"], ds["name"]
+
+    # same fixture through the Spark tabular path matches the oracle
+    from deidentify_spark.operators.tabular import deidentify_table
+
+    rows = [tuple(r) for r in sf["rows"]]
+    df = spark.createDataFrame(rows, "name string, email string, phone string, ssn string")
+    types = dict(zip(sf["column_names"], sf["column_types"]))
+    got = {r.email for r in deidentify_table(df, tf["secret_key"], types).collect()}
+    want = {r[1] for r in out}
+    assert got == want
