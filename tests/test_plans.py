@@ -80,3 +80,42 @@ def test_fused_stage_handles_empty_partitions(spark):
     ).repartition(4)
     out = run_pipeline(df, PipelineConfig(secret_key="k"))
     assert out.count() == 0
+
+
+def test_aqe_skew_join_splits_hot_key(spark):
+    """AQE skew handling (north_rule: skew handled explicitly): a 90%-hot
+    join key gets split — the FINAL adaptive plan marks the join
+    skew=true. Thresholds are tuned down so test-sized data exhibits the
+    same mechanics as a hot host at 100 TB."""
+    conf_keys = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf_keys}
+    try:
+        for k, v in conf_keys.items():
+            spark.conf.set(k, v)
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_000
+        final_plan = spark._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, "AQE did not split the skewed join"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
