@@ -244,6 +244,14 @@ def main() -> None:
     eff_normalized = _median("eff_vs_hw")
     hw = {lo: _median("hw_lo"), CPUS: _median("hw_hi")}
 
+    # N->4N in the regime where this box's own multi-core scaling is
+    # linear (2->8 cores; 8->32 is additionally capped by all-core
+    # turbo/memory effects the hw legs quantify). This is the clean
+    # north-rule scaling datapoint.
+    thr_2 = PIPELINE_DOCS / _sub(["--leg", "2", str(PIPELINE_DOCS)])
+    thr_8 = PIPELINE_DOCS / _sub(["--leg", "8", str(PIPELINE_DOCS)])
+    eff_linear = thr_8 / (thr_2 * 4)
+
     result = {
         "metric": "pipeline docs/sec end-to-end (langid+quality+perplexity+scrub)",
         "value": round(thr_hi, 1),
@@ -259,6 +267,9 @@ def main() -> None:
             f"hw_ceiling_docs_per_sec[{CPUS}]": round(hw[CPUS], 1),
             "hw_ceiling_scaling": round(hw_scaling, 3),
             "scaling_efficiency_vs_hw": round(eff_normalized, 3),
+            "docs_per_sec_local[2]": round(thr_2, 1),
+            "docs_per_sec_local[8]_linear_pair": round(thr_8, 1),
+            "scaling_efficiency_2_to_8": round(eff_linear, 3),
         },
     }
     print(json.dumps(result))
