@@ -472,9 +472,9 @@ def salted_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deidentify_spark.operators.tabular import salted_group_count
 
     docs = _t(spark, sf_dir, "documents")
-    return salted_group_count(docs, "source", n_salts=8, agg_col="n_chars").orderBy(
-        "source"
-    )
+    return salted_group_count(
+        docs, "source", n_salts=8, agg_col="n_chars", salt_key_col="doc_id"
+    ).orderBy("source")
 
 
 def group_profile_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,66 @@
+"""Go-`fmt.Sprintf("%v", x)`-parity coercion of non-string cells.
+
+The reference's Table API stringifies every cell with Go's `%v` verb
+(deidentify.go:199) before hashing it into a deterministic replacement,
+so the *textual form* of a bool/float decides which replacement the cell
+maps to. Python's ``str()`` disagrees with Go on exactly two types:
+
+* bool: Python ``'True'`` vs Go ``'true'``;
+* float: Go uses ``strconv.FormatFloat(f, 'g', -1, 64)`` — the shortest
+  round-trip decimal, fixed notation for exponents in [-4, 21), no
+  trailing ``.0`` on integral values (``100000.0`` -> ``"100000"``),
+  two-digit ``e±XX`` scientific outside that range.
+
+Both the scalar oracle (`Deidentifier.table`) and the Spark path
+(`deidentify_table`) route non-string cells through these helpers so the
+two engines and the reference agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import math
+
+
+def go_format_float(f: float) -> str:
+    """Go strconv.FormatFloat(f, 'g', -1, 64)."""
+    if math.isnan(f):
+        return "NaN"
+    if math.isinf(f):
+        return "+Inf" if f > 0 else "-Inf"
+    if f == 0.0:
+        return "-0" if math.copysign(1.0, f) < 0 else "0"
+    neg = "-" if f < 0 else ""
+    s = repr(abs(float(f)))  # shortest round-trip digits (CPython float_repr)
+    if "e" in s:
+        mant, _, ex = s.partition("e")
+        e = int(ex)
+        digs = mant.replace(".", "")
+        # python mantissa is d.ddd — decimal exponent already relative to
+        # the leading digit
+    else:
+        ip, _, fp = s.partition(".")
+        all_digs = (ip + fp).lstrip("0")
+        lead_zeros = len(ip + fp) - len(all_digs)
+        e = len(ip) - 1 - lead_zeros
+        digs = all_digs
+    digs = digs.rstrip("0") or "0"
+    if -4 <= e < 21:
+        if e >= len(digs) - 1:
+            out = digs + "0" * (e - (len(digs) - 1))
+        elif e >= 0:
+            out = digs[: e + 1] + "." + digs[e + 1 :]
+        else:
+            out = "0." + "0" * (-e - 1) + digs
+    else:
+        mant = digs[0] + ("." + digs[1:] if len(digs) > 1 else "")
+        out = f"{mant}e{'+' if e >= 0 else '-'}{abs(e):02d}"
+    return neg + out
+
+
+def go_format_value(v) -> str:
+    """Go `%v` for the cell types a table can carry (bool/float/int/str)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        return go_format_float(v)
+    return str(v)

@@ -47,12 +47,25 @@ def _hash60(col: Column) -> Column:
 def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle)."""
+    """Distinct word n-gram shingles per doc: (id, shingle).
+
+    Docs with fewer than ``n`` words yield ZERO shingles (they simply
+    don't appear in the output) — matching the DuckDB oracle twin, where
+    ``generate_series(1, len(w)-n+1)`` is empty. The guard matters:
+    ``F.sequence(0, size-n)`` steps DOWNWARD when ``size-n < 0`` (Spark
+    sequence semantics), producing [0, -1] and an out-of-range
+    ``element_at`` crash on any 1-2 word doc — common in real web data.
+    """
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]),
-    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col), F.explode(grams).alias("shingle"))
         .distinct()

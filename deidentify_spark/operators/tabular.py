@@ -16,8 +16,10 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 from deidentify_spark.functions.scrub import scrub_column_udf
 from deidentify_spark.oracle import Deidentifier
@@ -37,8 +39,13 @@ def infer_column_types(
     sample_df = df.select(*columns)
     if order_by:
         sample_df = sample_df.orderBy(order_by)
+    from deidentify_spark.functions.coerce import go_format_value
+
     rows = sample_df.limit(10).collect()
-    data = [["" if row[c] is None else str(row[c]) for c in columns] for row in rows]
+    data = [
+        ["" if row[c] is None else go_format_value(row[c]) for c in columns]
+        for row in rows
+    ]
     oracle = Deidentifier("unused-inference-key")  # inference is key-free
     types = oracle.infer_column_types(data)
     return dict(zip(columns, types))
@@ -54,11 +61,17 @@ def deidentify_table(
 
     Columns absent from ``column_types`` (or typed 'generic') pass
     through untouched — including non-string columns, which are never
-    coerced unless they carry a PII type (then stringified, matching the
-    reference's fmt.Sprintf coercion, deidentify.go:199).
+    coerced unless they carry a PII type. PII-typed non-string columns
+    stringify with Go `%v` semantics (deidentify.go:199) so the hashed
+    replacement matches the reference and the scalar oracle byte-for-byte:
+    booleans become 'true'/'false' (a Column expression), floats use
+    Go's shortest 'g' form via a vectorized pandas UDF (Spark's
+    cast(string) of 100000.0 would give '100000.0', Go gives '100000'),
+    everything else casts.
     """
     if column_types is None:
         column_types = infer_column_types(df, order_by=order_by)
+    dtypes = dict(df.dtypes)
     out_cols = []
     for c in df.columns:
         t = column_types.get(c, "generic")
@@ -66,8 +79,28 @@ def deidentify_table(
             out_cols.append(F.col(c))
         else:
             scrub = scrub_column_udf(secret_key, t, c)
-            out_cols.append(scrub(F.col(c).cast("string")).alias(c))
+            out_cols.append(scrub(_go_str(c, dtypes[c])).alias(c))
     return df.select(*out_cols)
+
+
+def _go_str(col_name: str, dtype: str):
+    """Stringify a column with Go fmt `%v` parity (see functions/coerce)."""
+    col = F.col(col_name)
+    if dtype == "string":
+        return col
+    if dtype == "boolean":
+        return F.when(col.isNull(), None).otherwise(
+            F.when(col, "true").otherwise("false")
+        )
+    if dtype in ("float", "double"):
+        from deidentify_spark.functions.coerce import go_format_float
+
+        @F.pandas_udf(StringType())
+        def fmt(v: pd.Series) -> pd.Series:
+            return v.map(lambda x: None if pd.isna(x) else go_format_float(float(x)))
+
+        return fmt(col)
+    return col.cast("string")
 
 
 def group_quality_profile(
@@ -107,7 +140,11 @@ def group_quality_profile(
 
 
 def salted_group_count(
-    df: DataFrame, key_col: str, n_salts: int = 16, agg_col: str | None = None
+    df: DataFrame,
+    key_col: str,
+    n_salts: int = 16,
+    agg_col: str | None = None,
+    salt_key_col: str | None = None,
 ) -> DataFrame:
     """Two-phase (salted) aggregation for skewed keys.
 
@@ -116,8 +153,18 @@ def salted_group_count(
     identical to a plain groupBy (count/sum are associative); only the
     shuffle layout changes, which is the point at 100 TB with Zipf-hot
     hosts. AQE's skew handling covers joins; this covers aggregations.
+
+    The salt derives from ``salt_key_col`` (any stable per-row key, e.g.
+    the doc id) when given, else from a hash of every column — never from
+    ``monotonically_increasing_id``, whose value depends on partition
+    layout and would make the physical shuffle sizes nondeterministic
+    across runs/AQE replans.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    if salt_key_col is not None:
+        salt_src = F.xxhash64(salt_key_col)
+    else:
+        salt_src = F.xxhash64(*[F.col(c) for c in df.columns])
+    salt = F.pmod(salt_src, F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key_col, "_salt")
@@ -132,5 +179,9 @@ def salted_group_count(
     )
     aggs = [F.sum("_cnt").alias("n_rows")]
     if agg_col:
-        aggs.append(F.round(F.sum("_sum"), 2).alias(f"sum_{agg_col}"))
+        # cast before rounding: DuckDB's ROUND(SUM(BIGINT), 2) is DOUBLE,
+        # Spark's round(sum(long), 2) stays long — align on double
+        aggs.append(
+            F.round(F.sum("_sum").cast("double"), 2).alias(f"sum_{agg_col}")
+        )
     return partial.groupBy(key_col).agg(*aggs)

@@ -355,8 +355,13 @@ class Deidentifier:
 
         ``columns`` is a list of {"name", "data_type", "values"}; None is
         preserved as None (deidentify.go:194-197), other values are coerced
-        to str (deidentify.go:199).
+        with Go `%v` semantics (deidentify.go:199): bool -> 'true'/'false',
+        float -> strconv.FormatFloat 'g' shortest form — NOT Python str(),
+        whose 'True'/'100000.0' would hash to different replacements than
+        the reference (and than the Spark path).
         """
+        from deidentify_spark.functions.coerce import go_format_value
+
         out = []
         for col in columns:
             values = []
@@ -365,7 +370,9 @@ class Deidentifier:
                     values.append(None)
                     continue
                 values.append(
-                    self.deidentify_value(str(v), col["data_type"], col["name"])
+                    self.deidentify_value(
+                        go_format_value(v), col["data_type"], col["name"]
+                    )
                 )
             out.append(
                 {"name": col["name"], "data_type": col["data_type"], "values": values}

@@ -197,3 +197,50 @@ def test_simhash_near_dups_verified(spark, corpus):
     for r in out:
         true_h = bin(sigs[r.doc_a] ^ sigs[r.doc_b]).count("1")
         assert r.hamming == true_h <= 3
+
+
+def test_word_shingles_short_docs(spark):
+    """Docs with < n words yield zero shingles — not a sequence/element_at
+    crash (Spark sequence steps DOWNWARD when start > stop, so the
+    unguarded form explodes on 1-2 word docs; common in real web data).
+    The DuckDB oracle twins also emit nothing for these docs."""
+    from deidentify_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "one"),
+            (2, "two words"),
+            (3, "exactly three words"),
+            (4, "here are four words"),
+            (5, "here are four words"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(df, n=3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 0 not in by_doc and 1 not in by_doc and 2 not in by_doc
+    assert by_doc[3] == {"exactly three words"}
+    assert by_doc[4] == {"here are four", "are four words"}
+    # end-to-end: the LSH pipeline survives short docs and still pairs 4-5
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(df, n=3, k=8, bands=4).collect()
+    }
+    assert (4, 5) in pairs
+
+
+def test_ngram_jaccard_short_docs_no_crash(spark):
+    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(0, "hi"), (1, "a b c d e"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}

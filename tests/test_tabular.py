@@ -137,3 +137,85 @@ def test_tabular_fixture_files(spark):
     got = {r.email for r in deidentify_table(df, tf["secret_key"], types).collect()}
     want = {r[1] for r in out}
     assert got == want
+
+
+def test_go_format_float_parity():
+    """Go strconv.FormatFloat(f,'g',-1,64) forms (expected strings are
+    Go's actual output for these inputs)."""
+    from deidentify_spark.functions.coerce import go_format_float, go_format_value
+
+    cases = {
+        1.5: "1.5",
+        100000.0: "100000",
+        -2.0: "-2",
+        0.0: "0",
+        1e21: "1e+21",
+        1.5e21: "1.5e+21",
+        1e20: "100000000000000000000",
+        0.0001: "0.0001",
+        0.00001: "1e-05",
+        -0.25: "-0.25",
+        3.141592653589793: "3.141592653589793",
+        123456.789: "123456.789",
+    }
+    for f, want in cases.items():
+        assert go_format_float(f) == want, (f, go_format_float(f), want)
+    assert go_format_value(True) == "true"
+    assert go_format_value(False) == "false"
+    assert go_format_value(42) == "42"
+    assert go_format_value("x") == "x"
+
+
+def test_table_mixed_types_spark_oracle_parity(spark):
+    """Bool/double/long PII-typed cells: the Spark path and the scalar
+    oracle must produce the SAME replacement (reference coerces with Go
+    %v: 'true', '100000', not Python 'True'/'100000.0')."""
+    rows = [
+        (1, True, 100000.0, 5551234567),
+        (2, False, 1.5, 5559876543),
+        (3, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, flag boolean, amount double, phone long"
+    )
+    types = {"flag": "name", "amount": "name", "phone": "phone"}
+    got = {r.id: r for r in deidentify_table(df, KEY, types).collect()}
+
+    d = Deidentifier(KEY)
+    assert got[1].flag == d.deidentify_value("true", "name", "flag")
+    assert got[2].flag == d.deidentify_value("false", "name", "flag")
+    assert got[1].amount == d.deidentify_value("100000", "name", "amount")
+    assert got[2].amount == d.deidentify_value("1.5", "name", "amount")
+    assert got[1].phone == d.deidentify_value("5551234567", "phone", "phone")
+    assert got[3].flag is None and got[3].amount is None and got[3].phone is None
+    # oracle table() agrees end-to-end on raw Python values
+    tbl = d.table(
+        [{"name": "flag", "data_type": "name", "values": [True, False, None]}]
+    )
+    assert tbl[0]["values"][0] == got[1].flag
+    assert tbl[0]["values"][1] == got[2].flag
+
+
+def test_salted_group_count_deterministic_and_double(spark):
+    """Salt derives from a stable row key: identical layout across runs;
+    the summed aggregate is DOUBLE (DuckDB ROUND(SUM(BIGINT),2) parity)."""
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 5).alias("k"), (F.col("id") % 13).alias("v")
+    )
+    out1 = salted_group_count(df, "k", n_salts=4, agg_col="v", salt_key_col="id")
+    assert dict(out1.dtypes)["sum_v"] == "double"
+    r1 = sorted((r.k, r.n_rows, r.sum_v) for r in out1.collect())
+    r2 = sorted(
+        (r.k, r.n_rows, r.sum_v)
+        for r in salted_group_count(
+            df.repartition(7), "k", n_salts=4, agg_col="v", salt_key_col="id"
+        ).collect()
+    )
+    assert r1 == r2
+    plain = sorted(
+        (r.k, r.n, float(r.s))
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .collect()
+    )
+    assert [(k, n, s) for k, n, s in r1] == plain
