@@ -572,8 +572,16 @@ def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: lineage_metrics aggregates the annotated plan in three
     # subtrees; without materialization the fused stage would run 3x
     out = run_pipeline(pages, PipelineConfig(secret_key=SECRET_KEY)).persist()
+    # maps serialize to JSON text: entries are already sorted by key
+    # (lineage.py sort_array before map_from_entries), so the JSON is
+    # deterministic AND hashable by the driver canonicalizer (a raw
+    # map column raised TypeError: unhashable dict in round 1).
     return lineage_metrics(out).select(
-        "bucket", "docs_in", "docs_out", "drop_reason_counts"
+        "bucket",
+        "docs_in",
+        "docs_out",
+        F.to_json("drop_reason_counts").alias("drop_reasons_json"),
+        F.to_json("pii_hits").alias("pii_hits_json"),
     )
 
 
@@ -618,6 +626,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_documents": scrub_documents,
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
     }
+
+
+def _golden_values_sql(fixture_name: str, cols: list[tuple[str, str]]) -> str:
+    """Render a frozen-golden oracle: a VALUES table from a committed
+    fixture JSON (list of row dicts).
+
+    Used for deterministic-but-not-SQL-expressible operators (the fused
+    langid/perplexity/scrub pipeline): the Spark side computes fresh, the
+    oracle pins the expected output byte-for-byte. The fixture is
+    regenerated only by an intentional pipeline-semantics change
+    (tests/test_pipeline_spark.py guards the same values)."""
+    import json
+
+    with open(os.path.join(_REPO, "fixtures", fixture_name)) as f:
+        rows = json.load(f)
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    values = ",\n                ".join(
+        "(" + ", ".join(lit(r[c]) for c, _ in cols) + ")" for r in rows
+    )
+    decls = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in cols)
+    names = ", ".join(c for c, _ in cols)
+    return f"""
+            SELECT {decls}
+            FROM (VALUES
+                {values}
+            ) AS t({names})
+            ORDER BY {cols[0][0]}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -955,4 +1000,14 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM wins GROUP BY 1 ORDER BY win_start
         """,
+        "pipeline_lineage_synthetic": _golden_values_sql(
+            "lineage_golden.json",
+            [
+                ("bucket", "INTEGER"),
+                ("docs_in", "BIGINT"),
+                ("docs_out", "BIGINT"),
+                ("drop_reasons_json", "VARCHAR"),
+                ("pii_hits_json", "VARCHAR"),
+            ],
+        ),
     }

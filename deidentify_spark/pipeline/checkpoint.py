@@ -4,11 +4,14 @@ lineage + metrics").
 
 Strategy: deterministic url-hash buckets (the same buckets as the lineage
 table) are processed in waves; after each wave the scrubbed output is
-appended (parquet partitioned by bucket) and the manifest records the
-completed buckets + a config fingerprint. A restart loads the manifest
-and processes only the missing buckets — zero recomputation of completed
-work, byte-identical final output (everything is a pure function of
-(secret_key, doc)).
+written with DYNAMIC PARTITION OVERWRITE (parquet partitioned by bucket)
+and the manifest records the completed buckets + a config fingerprint. A
+restart loads the manifest and processes only the missing buckets — zero
+recomputation of completed work, byte-identical final output (everything
+is a pure function of (secret_key, doc)). Overwrite-by-partition (not
+append) makes the wave write idempotent: a crash AFTER the data write but
+BEFORE the manifest write re-runs the wave on resume and replaces the
+same bucket partitions, never duplicating rows or metrics.
 
 Iceberg: when an Iceberg catalog is on the classpath the same flow maps
 onto `df.writeTo(tbl).append()` with snapshot ids in place of the
@@ -89,13 +92,20 @@ def run_checkpointed(
     cfg: PipelineConfig,
     n_waves: int = 4,
     fail_after_wave: int | None = None,
+    fail_before_manifest_wave: int | None = None,
 ) -> dict:
     """Process pages wave-by-wave with manifest checkpoints.
 
-    Buckets `b` with `b % n_waves == w` form wave `w`; a wave's output is
-    appended under ``output_path/scrubbed`` (partitioned by bucket) and
-    its lineage rows under ``output_path/metrics`` before the manifest
-    marks it done. ``fail_after_wave`` injects a crash for tests.
+    Buckets `b` with `b % n_waves == w` form wave `w`; a wave's output
+    lands under ``output_path/scrubbed`` (partitioned by bucket) and its
+    lineage rows under ``output_path/metrics`` before the manifest marks
+    it done. Wave writes use DYNAMIC PARTITION OVERWRITE, so a crash in
+    the window between the data write and the manifest write is safe: the
+    resumed run re-processes the wave and overwrites exactly the same
+    bucket partitions instead of appending duplicates — writes are
+    idempotent, the manifest only tracks which waves may be skipped.
+    ``fail_after_wave`` / ``fail_before_manifest_wave`` inject crashes
+    for tests (after and before the manifest write respectively).
     Returns the final manifest. A fingerprint mismatch (config changed)
     raises — resuming under a different config would mix semantics.
     """
@@ -118,37 +128,56 @@ def run_checkpointed(
     # annotated output instead would re-run the whole pipeline over all
     # docs once per wave — n_waves x the compute).
     bucket_of_url = F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int")
-    for wave in range(n_waves):
-        wave_buckets = [
-            b for b in range(cfg.n_buckets) if b % n_waves == wave
-        ]
-        if set(wave_buckets) <= done:
-            continue
-        wave_pages = pages.where(bucket_of_url.isin(wave_buckets))
-        part = run_pipeline(wave_pages, cfg)
-        (
-            part.write.mode("append")
-            .partitionBy("bucket")
-            .parquet(scrubbed_path)
-        )
-        # Metrics from the just-written files (partition-pruned read of
-        # only this wave's buckets) — recomputing `part` for a second
-        # action would run the Python stage twice per wave.
-        written = spark.read.parquet(scrubbed_path).where(
-            F.col("bucket").isin(wave_buckets)
-        )
-        (
-            lineage_metrics(written)
-            .write.mode("append")
-            .parquet(os.path.join(output_path, "metrics"))
-        )
-        done.update(wave_buckets)
-        _write_manifest(
-            output_path,
-            {"fingerprint": fp, "done_buckets": sorted(done)},
-        )
-        if fail_after_wave is not None and wave >= fail_after_wave:
-            raise RuntimeError(f"injected failure after wave {wave}")
+    # dynamic partition overwrite: mode("overwrite") replaces ONLY the
+    # bucket partitions present in the written data — the idempotence
+    # mechanism for the write-then-crash-before-manifest window
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for wave in range(n_waves):
+            wave_buckets = [
+                b for b in range(cfg.n_buckets) if b % n_waves == wave
+            ]
+            if set(wave_buckets) <= done:
+                continue
+            wave_pages = pages.where(bucket_of_url.isin(wave_buckets))
+            part = run_pipeline(wave_pages, cfg)
+            (
+                part.write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(scrubbed_path)
+            )
+            # Metrics from the just-written files (partition-pruned read
+            # of only this wave's buckets) — recomputing `part` for a
+            # second action would run the Python stage twice per wave.
+            written = spark.read.parquet(scrubbed_path).where(
+                F.col("bucket").isin(wave_buckets)
+            )
+            (
+                lineage_metrics(written)
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(os.path.join(output_path, "metrics"))
+            )
+            if (
+                fail_before_manifest_wave is not None
+                and wave >= fail_before_manifest_wave
+            ):
+                raise RuntimeError(
+                    f"injected failure before manifest of wave {wave}"
+                )
+            done.update(wave_buckets)
+            _write_manifest(
+                output_path,
+                {"fingerprint": fp, "done_buckets": sorted(done)},
+            )
+            if fail_after_wave is not None and wave >= fail_after_wave:
+                raise RuntimeError(f"injected failure after wave {wave}")
+    finally:
+        if prev_mode is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     return read_manifest(output_path)
 
 

@@ -112,3 +112,40 @@ def test_wave_filter_below_python_stage(spark):
     i_filter = plan.index("Filter cast(pmod(xxhash64(url")
     # tree printing puts children (executed first) after parents
     assert i_filter > i_udf, "bucket filter did not land below the python stage"
+
+
+def test_crash_before_manifest_no_duplicates(spark, tmp_path):
+    """Crash in the window AFTER a wave's data write but BEFORE its
+    manifest write: the resumed run must re-process that wave and
+    OVERWRITE its bucket partitions (dynamic partition overwrite) — never
+    append duplicates or double-count metrics."""
+    out = str(tmp_path / "run4")
+    pages = generate_pages(spark, N_DOCS, seed=5, partitions=8)
+
+    with pytest.raises(RuntimeError, match="before manifest"):
+        run_checkpointed(
+            pages, out, _cfg(), n_waves=4, fail_before_manifest_wave=1
+        )
+    m = read_manifest(out)
+    # wave 0 committed, wave 1 wrote data but did NOT commit
+    assert len(m["done_buckets"]) == 4
+    scrub_dir = os.path.join(out, "scrubbed")
+    written_rows = spark.read.parquet(scrub_dir).count()
+    assert written_rows > 0
+
+    run_checkpointed(pages, out, _cfg(), n_waves=4)
+    assert remaining_buckets(out, _cfg()) == []
+
+    resumed = spark.read.parquet(scrub_dir)
+    # no duplicate urls anywhere (append would duplicate wave 1)
+    assert resumed.count() == resumed.select("url").distinct().count() == N_DOCS
+
+    oneshot = run_pipeline(pages, _cfg())
+    a = {r.url: (r.keep, r.drop_reason, r.scrubbed_text) for r in resumed.collect()}
+    b = {r.url: (r.keep, r.drop_reason, r.scrubbed_text) for r in oneshot.collect()}
+    assert a == b
+
+    # metrics: exactly one row per bucket, totals reconcile (no double count)
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    assert metrics.count() == metrics.select("bucket").distinct().count()
+    assert metrics.agg(F.sum("docs_in")).head()[0] == N_DOCS
