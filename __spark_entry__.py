@@ -387,11 +387,16 @@ def ann_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6)."""
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.6) with the
+    scale guard on: shingles in >100 docs are dropped from the join and
+    the set sizes (stop-shingle cap — bounds the self-join at web scale;
+    the oracle applies the identical cap)."""
     from deidentify_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.6).orderBy("doc_a", "doc_b")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.6, max_doc_freq=100
+    ).orderBy("doc_a", "doc_b")
 
 
 def minhash_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -407,6 +412,24 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+
+
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path of embedding_near_dups: sign-LSH band blocking + exact
+    cosine verify (no cartesian stage). Runs over deterministic synthetic
+    embeddings with PLANTED clone clusters (the sf* embeddings table is
+    near-random, max pairwise cosine ~0.51 — nothing to mine at 0.9);
+    value-checked against a frozen golden (fixtures/embedding_lsh_golden
+    .json) since the hyperplane hashing isn't SQL-expressible."""
+    from deidentify_spark.operators.dedup import embedding_near_dup_pairs_lsh
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(
+        spark, n_base=300, n_clones=60, dim=64, seed=7, partitions=8
+    )
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.9, dim=64, n_planes=64, bands=8
+    ).orderBy("id_a", "id_b")
 
 
 def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
         "embedding_near_dups": embedding_near_dups,
+        "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "token_counts_documents": token_counts_documents,
         "sessionization_events": sessionization_events,
         "sliding_window_events": sliding_window_events,
@@ -885,11 +909,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        regexp_split_to_array(lower(trim(text)), '\\s+') AS w
                 FROM documents
-            ), sh AS (
+            ), sh_all AS (
                 SELECT DISTINCT doc_id,
                        unnest([w[i]||' '||w[i+1]||' '||w[i+2]
                                for i in generate_series(1, len(w)-2)]) AS shingle
                 FROM words
+            ), sh AS (
+                -- stop-shingle cap (max_doc_freq=100), same as Spark side
+                SELECT * FROM sh_all
+                WHERE shingle NOT IN (
+                    SELECT shingle FROM sh_all GROUP BY shingle
+                    HAVING COUNT(*) > 100
+                )
             ), sizes AS (
                 SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
             ), common AS (
@@ -1009,5 +1040,13 @@ def oracle_sql() -> dict[str, str]:
                 ("drop_reasons_json", "VARCHAR"),
                 ("pii_hits_json", "VARCHAR"),
             ],
+        ),
+        "embedding_near_dups_lsh": _golden_values_sql(
+            "embedding_lsh_golden.json",
+            [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
+        ),
+        "ann_cosine_lsh_top10": _golden_values_sql(
+            "ann_lsh_golden.json",
+            [("vec_id", "BIGINT"), ("cosine", "DOUBLE")],
         ),
     }

