@@ -585,6 +585,20 @@ def scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def scrub_documents_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked twin of scrub_documents: md5 of every scrubbed doc
+    against a frozen golden (the scrub is deterministic in (key, text);
+    full-text byte parity is additionally pinned by the pytest goldens).
+    One narrow Arrow stage + a hash — no shuffle."""
+    from deidentify_spark.functions.scrub import scrub_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(scrub_text_udf(SECRET_KEY)(F.col("text"))).alias("scrub_md5"),
+    ).orderBy("doc_id")
+
+
 def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline + lineage metrics over deterministic synthetic pages."""
     from deidentify_spark.pipeline.lineage import lineage_metrics
@@ -608,6 +622,92 @@ def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approx_count_distinct demonstrated WITH a value oracle: the
+    query returns the exact distinct counts plus booleans asserting the
+    sketch landed within 5% of exact (HLL++ rsd default is 0.05); the
+    oracle pins the exact counts and TRUE. A raw sketch value can't
+    hash-match DuckDB (different algorithm), a tolerance check can."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.agg(
+        F.countDistinct("text").alias("n_exact_texts"),
+        F.approx_count_distinct("text").alias("_apx_t"),
+        F.countDistinct("source").alias("n_exact_sources"),
+        F.approx_count_distinct("source").alias("_apx_s"),
+    )
+    return agg.select(
+        "n_exact_texts",
+        (
+            (F.col("_apx_t") >= F.col("n_exact_texts") * 0.95)
+            & (F.col("_apx_t") <= F.col("n_exact_texts") * 1.05)
+        ).alias("approx_texts_within_5pct"),
+        "n_exact_sources",
+        (
+            (F.col("_apx_s") >= F.col("n_exact_sources") * 0.95)
+            & (F.col("_apx_s") <= F.col("n_exact_sources") * 1.05)
+        ).alias("approx_sources_within_5pct"),
+    )
+
+
+def daily_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions over the daily order series: lag, lead,
+    and a 7-row trailing moving average (SURVEY §2.F 'analytic')."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.orderBy("day")
+    wma = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            "n_orders",
+            F.lag("n_orders", 1).over(w).alias("prev_day_orders"),
+            F.lead("n_orders", 1).over(w).alias("next_day_orders"),
+            F.round(F.avg("n_orders").over(wma), 4).alias("ma7_orders"),
+        )
+        .orderBy("day")
+        .limit(400)
+    )
+
+
+def union_by_name_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName: two document slices projected in DIFFERENT column
+    orders (and one missing a column) union by NAME, not position —
+    positional union would silently cross-assign columns."""
+    docs = _t(spark, sf_dir, "documents")
+    first = docs.where(F.col("doc_id") < 250).select("doc_id", "source", "n_chars")
+    second = docs.where(F.col("doc_id") >= 250).select(
+        "n_chars", F.col("source")
+    )  # different order, no doc_id
+    both = first.unionByName(second, allowMissingColumns=True)
+    return (
+        both.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("doc_id").alias("n_with_id"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the SQL form; rollup/cube cover the
+    shorthands): totals by status, by priority, and grand total."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus, o_orderpriority
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
@@ -626,6 +726,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "distinct_counts_documents": distinct_counts_documents,
+        "approx_distinct_documents": approx_distinct_documents,
+        "daily_order_momentum": daily_order_momentum,
+        "union_by_name_documents": union_by_name_documents,
+        "grouping_sets_orders": grouping_sets_orders,
         "json_events_avg_by_type": json_events_avg_by_type,
         "monthly_order_volume": monthly_order_volume,
         "events_tumbling_10min": events_tumbling_10min,
@@ -648,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_features": multimodal_decode_features,
         "langid_documents_counts": langid_documents_counts,
         "scrub_documents": scrub_documents,
+        "scrub_documents_digest": scrub_documents_digest,
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
     }
 
@@ -1031,6 +1136,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM wins GROUP BY 1 ORDER BY win_start
         """,
+        "approx_distinct_documents": """
+            SELECT COUNT(DISTINCT text) AS n_exact_texts,
+                   TRUE AS approx_texts_within_5pct,
+                   COUNT(DISTINCT source) AS n_exact_sources,
+                   TRUE AS approx_sources_within_5pct
+            FROM documents
+        """,
+        "daily_order_momentum": """
+            WITH daily AS (
+                SELECT o_orderdate AS day, COUNT(*) AS n_orders
+                FROM orders GROUP BY o_orderdate
+            )
+            SELECT day, n_orders,
+                   lag(n_orders, 1) OVER (ORDER BY day) AS prev_day_orders,
+                   lead(n_orders, 1) OVER (ORDER BY day) AS next_day_orders,
+                   ROUND(AVG(n_orders) OVER (
+                       ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   ), 4) AS ma7_orders
+            FROM daily ORDER BY day LIMIT 400
+        """,
+        "union_by_name_documents": """
+            WITH both_halves AS (
+                SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 250
+                UNION ALL
+                SELECT NULL AS doc_id, source, n_chars
+                FROM documents WHERE doc_id >= 250
+            )
+            SELECT source, COUNT(*) AS n_docs, COUNT(doc_id) AS n_with_id,
+                   SUM(n_chars) AS sum_chars
+            FROM both_halves GROUP BY source ORDER BY source
+        """,
+        "grouping_sets_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY o_orderstatus, o_orderpriority
+        """,
         "pipeline_lineage_synthetic": _golden_values_sql(
             "lineage_golden.json",
             [
@@ -1048,5 +1192,28 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_lsh_top10": _golden_values_sql(
             "ann_lsh_golden.json",
             [("vec_id", "BIGINT"), ("cosine", "DOUBLE")],
+        ),
+        "langid_documents_counts": _golden_values_sql(
+            "langid_golden.json",
+            [("lang_pred", "VARCHAR"), ("n_docs", "BIGINT")],
+        ),
+        "scrub_documents_digest": _golden_values_sql(
+            "scrub_digest_golden.json",
+            [("doc_id", "BIGINT"), ("scrub_md5", "VARCHAR")],
+        ),
+        "table_scrub_customers": _golden_values_sql(
+            "table_scrub_golden.json",
+            [("c_custkey", "BIGINT"), ("scrubbed_name", "VARCHAR")],
+        ),
+        "multimodal_decode_features": _golden_values_sql(
+            "multimodal_golden.json",
+            [
+                ("asset_id", "BIGINT"),
+                ("kind", "VARCHAR"),
+                ("n_bytes", "BIGINT"),
+                ("width", "INTEGER"),
+                ("height", "INTEGER"),
+                ("duration_ms", "BIGINT"),
+            ],
         ),
     }

@@ -1,0 +1,66 @@
+"""Driver-style correctness sweep: run every registered query on Spark
+and its oracle SQL on DuckDB at sf0.01, compare rows/schema/values.
+
+Usage: python scripts/check_all_oracles.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __spark_entry__ as e  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    names = sys.argv[1:] or list(e.queries())
+    oracles = e.oracle_sql()
+    failed = []
+    for name in names:
+        try:
+            sdf = e.queries()[name](spark, sf).toPandas()
+            if name not in oracles:
+                print(f"{name}: rows-only ({len(sdf)} rows)")
+                continue
+            odf = con.execute(oracles[name]).df()
+            cols = sorted(sdf.columns)
+            assert cols == sorted(odf.columns), (cols, sorted(odf.columns))
+            s = sdf[cols].sort_values(cols).reset_index(drop=True)
+            o = odf[cols].sort_values(cols).reset_index(drop=True)
+            assert len(s) == len(o), (len(s), len(o))
+            pd.testing.assert_frame_equal(s, o, check_dtype=False)
+            print(f"{name}: OK ({len(s)} rows)")
+        except Exception as ex:  # noqa: BLE001
+            failed.append(name)
+            print(f"{name}: FAIL {type(ex).__name__}: {str(ex)[:300]}")
+    spark.stop()
+    print(f"\n{len(names) - len(failed)}/{len(names)} green; failed: {failed}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

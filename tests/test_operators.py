@@ -336,3 +336,21 @@ def test_embedding_lsh_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multimodal_features_scalar_parity(spark):
+    """The batched histogram (segment bincount) is bit-identical to the
+    scalar byte_histogram_features definition."""
+    from deidentify_spark.operators.multimodal import (
+        byte_histogram_features,
+        decode_assets,
+        synthesize_assets,
+    )
+
+    assets = synthesize_assets(spark, 40, seed=3, partitions=4)
+    payloads = {r.asset_id: bytes(r.payload) for r in assets.collect()}
+    decoded = decode_assets(assets, mode="deterministic_fake").collect()
+    assert len(decoded) == 40
+    for r in decoded:
+        assert r.features == byte_histogram_features(payloads[r.asset_id])
+        assert r.n_bytes == len(payloads[r.asset_id])

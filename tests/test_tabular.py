@@ -75,7 +75,9 @@ def test_examples_run(spark):
     import sys as _sys
 
     root = pathlib.Path(__file__).resolve().parent.parent
-    for script in ["basic.py", "international.py"]:  # non-Spark ones (fast)
+    # non-Spark ones (fast); slices.py self-asserts the reference demo
+    # behaviors including the same-key column-name caveat (SURVEY §0.2)
+    for script in ["basic.py", "international.py", "slices.py"]:
         r = subprocess.run(
             [_sys.executable, str(root / "examples" / script)],
             capture_output=True,
