@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "ngram_jaccard_near_dups",
     "minhash_lsh_candidates_documents",
+    "simhash_near_dups_documents",
+    "embedding_near_dups_lsh",
     "sessionization_events",
     "text_stats_documents",
     "ann_cosine_top10",
@@ -186,13 +188,17 @@ def main() -> None:
     q_times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
-        # warm the IO/plan once at tiny scale to exclude first-call JVM
-        # codegen noise from per-query numbers
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        q_times[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        # min of two runs: the first pays JVM codegen + parquet footer
+        # reads and this box's co-tenant noise swings single shots ~30%;
+        # min-of-2 approximates the steady state a long job runs in
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.time() - t0)
+            assert n >= 0
+        q_times[name] = round(best, 3)
     spark.stop()
 
     # Scaling legs in fresh subprocesses (clean JVM per parallelism level),
@@ -224,12 +230,18 @@ def main() -> None:
             "thr_hi": PIPELINE_DOCS / _sub(["--leg", str(CPUS), str(PIPELINE_DOCS)]),
             "hw_lo": _sub(["--hwleg", str(lo), "1500"]),
             "hw_hi": _sub(["--hwleg", str(CPUS), "1500"]),
+            # N->4N pair in the regime where this box's own multi-core
+            # scaling is linear (2->8): the clean north-rule datapoint,
+            # inside the trial so the median smooths co-tenant noise
+            "thr_2": PIPELINE_DOCS / _sub(["--leg", "2", str(PIPELINE_DOCS)]),
+            "thr_8": PIPELINE_DOCS / _sub(["--leg", "8", str(PIPELINE_DOCS)]),
         }
         t["eff_raw"] = t["thr_hi"] / (t["thr_lo"] * ratio)
         t["hw_scaling"] = t["hw_hi"] / (t["hw_lo"] * ratio)
         t["eff_vs_hw"] = (
             min(t["eff_raw"] / t["hw_scaling"], 1.0) if t["hw_scaling"] > 0 else 0.0
         )
+        t["eff_2_to_8"] = t["thr_8"] / (t["thr_2"] * 4)
         per_trial.append(t)
 
     def _median(key: str) -> float:
@@ -243,14 +255,9 @@ def main() -> None:
     hw_scaling = _median("hw_scaling")
     eff_normalized = _median("eff_vs_hw")
     hw = {lo: _median("hw_lo"), CPUS: _median("hw_hi")}
-
-    # N->4N in the regime where this box's own multi-core scaling is
-    # linear (2->8 cores; 8->32 is additionally capped by all-core
-    # turbo/memory effects the hw legs quantify). This is the clean
-    # north-rule scaling datapoint.
-    thr_2 = PIPELINE_DOCS / _sub(["--leg", "2", str(PIPELINE_DOCS)])
-    thr_8 = PIPELINE_DOCS / _sub(["--leg", "8", str(PIPELINE_DOCS)])
-    eff_linear = thr_8 / (thr_2 * 4)
+    thr_2 = _median("thr_2")
+    thr_8 = _median("thr_8")
+    eff_linear = _median("eff_2_to_8")
 
     result = {
         "metric": "pipeline docs/sec end-to-end (langid+quality+perplexity+scrub)",

@@ -45,9 +45,17 @@ def _hash60(col: Column) -> Column:
 
 
 def word_shingles(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (id, shingle).
+    """Word n-gram shingles per doc: (id, shingle), distinct by default.
+
+    Pass ``distinct=False`` for duplicate-insensitive consumers (minhash:
+    min over duplicates == min over distinct) — it removes an entire
+    shuffle of shingle strings (~20% of minhash wall time at sf0.1).
 
     Docs with fewer than ``n`` words yield ZERO shingles (they simply
     don't appear in the output) — matching the DuckDB oracle twin, where
@@ -66,10 +74,8 @@ def word_shingles(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -102,7 +108,12 @@ def minhash_lsh_candidates(
     groupBy buckets), never a global cross join.
     """
     rows = k // bands
-    sigs = minhash_signatures(word_shingles(df, n, text_col, id_col), k, id_col)
+    # distinct=False: min() is duplicate-insensitive, and skipping the
+    # distinct removes a full shuffle of shingle strings (identical
+    # output, measured ~20% faster at sf0.1)
+    sigs = minhash_signatures(
+        word_shingles(df, n, text_col, id_col, distinct=False), k, id_col
+    )
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
@@ -136,6 +147,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle equi-join (no cross join).
 
@@ -147,22 +159,45 @@ def ngram_jaccard_pairs(
     dropped from BOTH the join and the per-doc set sizes before pairing,
     so no shingle group ever exceeds max_doc_freq docs and the self-join
     is bounded at O(n_shingles * max_doc_freq^2 / 2) instead of quadratic
-    in the hottest group. The hot set is tiny (Zipf head), so it ships as
-    a broadcast anti-join — one extra map-side-combinable count, no new
-    big shuffle. Near-dup pairs lose almost no signal: a shingle shared
-    by thousands of docs carries ~zero Jaccard information anyway.
+    in the hottest group. Near-dup pairs lose almost no signal: a shingle
+    shared by thousands of docs carries ~zero Jaccard information anyway.
     Without it (None) semantics are the classic textbook Jaccard — fine
     for bounded corpora, a scale-killer on the open web.
+
+    Two cap plans, measured at sf0.1 (bench box, 32 cores):
+    * ``window`` (default): annotate each (id, shingle) row with its doc
+      frequency via count() over a shingle-partitioned window. The window
+      shuffle is the SAME exchange the self-join needs, so Spark's
+      ReusedExchange makes the cap ~free (11.5s vs 10.2s uncapped); a
+      pathological hot shingle concentrates on one task but the work
+      stays LINEAR (buffer+count+filter), never quadratic.
+    * ``antijoin``: map-side-combinable groupBy count + broadcast
+      anti-join of the tiny hot set. No single-task concentration at all,
+      but in a single lazy query it recomputes the shingle table a third
+      time (23.9s measured). Prefer it when the shingle table is
+      materialized anyway (checkpointed 100 TB runs).
     """
     sh = word_shingles(df, n, text_col, id_col)
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        if cap_strategy == "window":
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy("shingle")
+            sh = (
+                sh.withColumn("_df", F.count(F.lit(1)).over(w))
+                .where(F.col("_df") <= max_doc_freq)
+                .drop("_df")
+            )
+        elif cap_strategy == "antijoin":
+            hot = (
+                sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") > max_doc_freq)
+                .select("shingle")
+            )
+            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        else:
+            raise ValueError(f"unknown cap_strategy: {cap_strategy!r}")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
