@@ -164,24 +164,34 @@ def ngram_jaccard_pairs(
     Without it (None) semantics are the classic textbook Jaccard — fine
     for bounded corpora, a scale-killer on the open web.
 
-    Two cap plans, measured at sf0.1 (bench box, 32 cores):
-    * ``window`` (default): annotate each (id, shingle) row with its doc
-      frequency via count() over a shingle-partitioned window. The window
-      shuffle is the SAME exchange the self-join needs, so Spark's
-      ReusedExchange makes the cap ~free (11.5s vs 10.2s uncapped); a
-      pathological hot shingle concentrates on one task but the work
-      stays LINEAR (buffer+count+filter), never quadratic.
+    With a cap, the plan is a JOIN-FREE linear chain (each stage consumed
+    exactly once — Spark does not reuse exchanges across self-join
+    branches, so the join formulation recomputes the shingle table 4x):
+    shingles -> doc-frequency cap -> per-doc set size annotation (rides
+    along as a column; no sizes join later) -> groupBy(shingle) collects
+    the <=K member docs -> C(m,2) pairs exploded per shingle (bounded by
+    the cap) -> one (doc_a, doc_b) count aggregate. ~1/4 the shuffled
+    bytes of the join form; identical results (pinned by test).
+
+    Cap plans:
+    * ``window`` (default): doc frequency via count() over a
+      shingle-partitioned window — a pathological hot shingle
+      concentrates on one task but the work stays LINEAR
+      (buffer+count+filter), never quadratic.
     * ``antijoin``: map-side-combinable groupBy count + broadcast
-      anti-join of the tiny hot set. No single-task concentration at all,
-      but in a single lazy query it recomputes the shingle table a third
-      time (23.9s measured). Prefer it when the shingle table is
-      materialized anyway (checkpointed 100 TB runs).
+      anti-join of the tiny hot set — no single-task concentration;
+      prefer it when the shingle table is materialized (checkpointed
+      100 TB runs), since lazily it recomputes the shingle explode.
+
+    Without a cap (None) semantics are the classic textbook Jaccard via
+    shingle self-join — fine for bounded corpora where a shingle group
+    can be large but total work is known small.
     """
+    from pyspark.sql.window import Window
+
     sh = word_shingles(df, n, text_col, id_col)
     if max_doc_freq is not None:
         if cap_strategy == "window":
-            from pyspark.sql.window import Window
-
             w = Window.partitionBy("shingle")
             sh = (
                 sh.withColumn("_df", F.count(F.lit(1)).over(w))
@@ -198,6 +208,40 @@ def ngram_jaccard_pairs(
             sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
         else:
             raise ValueError(f"unknown cap_strategy: {cap_strategy!r}")
+        # join-free pair generation: set sizes ride along, each shingle
+        # group (<= max_doc_freq docs) emits its C(m,2) pairs directly
+        sh = sh.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
+        grouped = sh.groupBy("shingle").agg(
+            F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds")
+        )
+        pairs = grouped.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
+                    f"struct(x.{id_col} as doc_a, y.{id_col} as doc_b, "
+                    "x.n_sh as n_a, y.n_sh as n_b))))"
+                )
+            ).alias("p")
+        ).select("p.*")
+        common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+            F.count(F.lit(1)).alias("n_common")
+        )
+        return (
+            common.withColumn(
+                "jaccard",
+                F.round(
+                    F.col("n_common")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                    4,
+                ),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard")
+        )
+
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

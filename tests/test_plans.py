@@ -119,3 +119,39 @@ def test_aqe_skew_join_splits_hot_key(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jaccard_capped_plan_is_join_free(spark):
+    """The capped Jaccard is a LINEAR CHAIN: shingles -> cap -> size
+    annotation -> per-shingle pair explosion -> one count aggregate.
+    No join anywhere (Spark does not reuse exchanges across self-join
+    branches, so the join formulation recomputes the shingle table 4x —
+    see ngram_jaccard_pairs docstring), and every stage is consumed
+    exactly once."""
+    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_doc_freq=100)
+    df.count()  # AQE: final plan materializes after execution
+    plan = _plan(df)
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    # the parquet source appears exactly once in the executed plan
+    assert plan.count("documents.parquet") == 1, plan[:3000]
+
+
+def test_minhash_no_shingle_distinct_shuffle(spark):
+    """Minhash signatures aggregate straight off the exploded shingles
+    (min() is duplicate-insensitive): exactly ONE exchange below the
+    signature aggregate — the doc_id shuffle — and no distinct of
+    shingle strings."""
+    from deidentify_spark.operators.dedup import minhash_signatures, word_shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(word_shingles(docs, 3, distinct=False), k=8)
+    plan = _plan(sigs)
+    # one shuffle total: hashpartitioning(doc_id); a distinct would add a
+    # second exchange keyed on (doc_id, shingle)
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    assert "hashpartitioning(doc_id" in plan
