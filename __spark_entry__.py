@@ -400,11 +400,14 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-minhash candidate pairs (k=8, 4 bands of 2)."""
+    """Banded-minhash candidate pairs (k=8, 4 bands of 2), join-free with
+    the degenerate-bucket guard on (cap 1000; oracle applies the same)."""
     from deidentify_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_candidates(docs, n=3, k=8, bands=4).orderBy("doc_a", "doc_b")
+    return minhash_lsh_candidates(
+        docs, n=3, k=8, bands=4, max_bucket_size=1000
+    ).orderBy("doc_a", "doc_b")
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,11 +525,14 @@ def table_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash candidates verified by exact Hamming distance (<=3)."""
+    """SimHash candidates verified by exact Hamming distance (<=3),
+    join-free, one signature-UDF pass, bucket cap 1000 (oracle matches)."""
     from deidentify_spark.operators.dedup import simhash_near_dups
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(docs, max_hamming=3).orderBy("doc_a", "doc_b")
+    return simhash_near_dups(
+        docs, max_hamming=3, max_bucket_size=1000
+    ).orderBy("doc_a", "doc_b")
 
 
 def winnowing_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -928,7 +934,7 @@ def oracle_sql() -> dict[str, str]:
         ).winnowing_oracle_sql("documents"),
         "simhash_near_dups_documents": __import__(
             "deidentify_spark.operators.dedup", fromlist=["simhash_oracle_sql"]
-        ).simhash_oracle_sql("documents", max_hamming=3),
+        ).simhash_oracle_sql("documents", max_hamming=3, max_bucket_size=1000),
         "percentile_order_value_by_priority": """
             SELECT o_orderpriority,
                    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
@@ -1071,9 +1077,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
                 UNION ALL
                 SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            ), kept AS (
+                -- degenerate-bucket cap (max_bucket_size=1000), as Spark
+                SELECT doc_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+                FROM bands QUALIFY bsz <= 1000
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a JOIN bands b
+            FROM kept a JOIN kept b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """,

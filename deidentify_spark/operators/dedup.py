@@ -93,6 +93,20 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def _pairs_from_sorted_array(col_name: str, fields: str) -> Column:
+    """C(m,2) ordered pairs from a sorted array column, as exploded
+    structs — the join-free pair-emission idiom shared by the LSH-family
+    operators (Spark does not reuse exchanges across self-join branches,
+    so a bucket self-join would recompute the whole upstream per side)."""
+    return F.explode(
+        F.expr(
+            f"flatten(transform({col_name}, (x, i) -> "
+            f"transform(slice({col_name}, i + 2, size({col_name}) - i - 1), "
+            f"y -> struct({fields}))))"
+        )
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     n: int = 3,
@@ -100,12 +114,24 @@ def minhash_lsh_candidates(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded minhash signatures.
 
     k/bands rows per band; docs sharing any full band signature become a
-    candidate pair. Pair emission is bucket-local (self-join within
-    groupBy buckets), never a global cross join.
+    candidate pair. Pair emission is JOIN-FREE: one groupBy on
+    (band, sig) collects each bucket's doc ids and explodes its C(m,2)
+    pairs — the banded-signature table is computed ONCE (a self-join
+    would recompute shingles + signatures per side; Spark does not reuse
+    exchanges across branches), and no join operator appears in the plan.
+
+    ``max_bucket_size`` drops degenerate buckets (e.g. a boilerplate
+    signature shared by 10^6 docs — run exact_dedup first so identical
+    docs never reach LSH): a bucket of m docs emits m(m-1)/2 pairs, so an
+    uncapped hot bucket is the one place this plan could blow up. Capped
+    buckets are dropped whole, mirroring standard LSH practice; the
+    registered driver query caps at 1000 with the identical HAVING filter
+    in its DuckDB oracle.
     """
     rows = k // bands
     # distinct=False: min() is duplicate-insensitive, and skipping the
@@ -123,21 +149,18 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    grouped = banded.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ds")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket_size)
+    return (
+        grouped.select(
+            _pairs_from_sorted_array("ds", "x as doc_a, y as doc_b").alias("p")
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
-        )
+        .select("p.*")
         .distinct()
     )
-    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -367,11 +390,15 @@ def simhash_udf():
     return simhash
 
 
-def simhash_oracle_sql(table: str = "documents", max_hamming: int | None = 3) -> str:
+def simhash_oracle_sql(
+    table: str = "documents",
+    max_hamming: int | None = 3,
+    max_bucket_size: int | None = None,
+) -> str:
     """Generate the DuckDB SQL that replicates simhash_near_dups (or, with
     max_hamming=None, simhash_candidates) byte-for-byte: md5-hex word
     hashes -> per-bit majority -> 60-bit signature -> quadrant buckets ->
-    (optional) bit_count Hamming filter."""
+    (optional bucket-size cap) -> (optional) bit_count Hamming filter."""
     bit_sums = ",\n                   ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
         for b in range(SIMHASH_BITS)
@@ -404,8 +431,13 @@ def simhash_oracle_sql(table: str = "documents", max_hamming: int | None = 3) ->
                 FROM hashes GROUP BY doc_id
             ), sigs AS (
                 SELECT doc_id, {sig_terms} AS sig FROM bitsums
-            ), quads AS (
+            ), quads_all AS (
                 {quads}
+            ), quads AS (
+                SELECT doc_id, quad, val,
+                       COUNT(*) OVER (PARTITION BY quad, val) AS bsz
+                FROM quads_all
+                {"QUALIFY bsz <= " + str(max_bucket_size) if max_bucket_size is not None else ""}
             ), cands AS (
                 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM quads a JOIN quads b
@@ -420,39 +452,16 @@ def simhash_oracle_sql(table: str = "documents", max_hamming: int | None = 3) ->
     """
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _simhash_quad_groups(
+    df: DataFrame, text_col: str, id_col: str, max_bucket_size: int | None
 ) -> DataFrame:
-    """Verified SimHash near-dups: candidate pairs from quadrant buckets
-    (see simhash_candidates), then an exact Hamming-distance filter via
-    bit_count(xor) — all JVM-side, no cross join. Complete for
-    Hamming <= 3 by the pigeonhole guarantee."""
-    sig = df.select(id_col, simhash_udf()(F.col(text_col)).alias("sig"))
-    cands = simhash_candidates(df, text_col, id_col)
-    sa = sig.select(F.col(id_col).alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("doc_b"), F.col("sig").alias("sig_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
-
-
-def simhash_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Near-dup candidates: equal 15-bit SimHash quadrant (Hamming<=3 docs
-    must share at least one of 4 quadrants — pigeonhole)."""
-    sig = df.select(id_col, simhash_udf()(F.col(text_col)).alias("sig"))
+    """(quad, val) buckets with the sorted (doc_id, sig) members — the
+    shared first half of the simhash operators. The signature UDF is
+    evaluated ONCE; the quadrant table is grouped, never self-joined."""
+    sig = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sig"))
     quads = sig.select(
         id_col,
+        "sig",
         F.explode(
             F.array(
                 *[
@@ -466,16 +475,71 @@ def simhash_candidates(
                 ]
             )
         ).alias("qv"),
-    ).select(id_col, "qv.quad", "qv.val")
-    l, r = quads.alias("l"), quads.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.quad") == F.col("r.quad"))
-            & (F.col("l.val") == F.col("r.val"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    ).select(id_col, "sig", "qv.quad", "qv.val")
+    grouped = quads.groupBy("quad", "val").agg(
+        F.sort_array(F.collect_list(F.struct(id_col, "sig"))).alias("ds")
+    )
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket_size)
+    return grouped
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Verified SimHash near-dups: candidate pairs from quadrant buckets,
+    then an exact Hamming-distance filter via bit_count(xor) — all
+    JVM-side after one signature-UDF pass. Complete for Hamming <= 3 by
+    the pigeonhole guarantee (when no bucket cap is set).
+
+    JOIN-FREE chain: signatures ride into the quadrant buckets as struct
+    fields, each bucket explodes its C(m,2) pairs carrying both
+    signatures, so the Hamming verify needs no signature re-join (the
+    join form evaluated the UDF up to 4x — Spark does not reuse exchanges
+    across self-join branches). ``max_bucket_size`` guards degenerate
+    buckets as in minhash_lsh_candidates."""
+    grouped = _simhash_quad_groups(df, text_col, id_col, max_bucket_size)
+    pairs = (
+        grouped.select(
+            _pairs_from_sorted_array(
+                "ds",
+                f"x.{id_col} as doc_a, y.{id_col} as doc_b, "
+                "x.sig as sig_a, y.sig as sig_b",
+            ).alias("p")
         )
-        .select(F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b"))
+        .select("p.*")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Near-dup candidates: equal 15-bit SimHash quadrant (Hamming<=3 docs
+    must share at least one of 4 quadrants — pigeonhole). Join-free, one
+    UDF pass (see simhash_near_dups)."""
+    grouped = _simhash_quad_groups(df, text_col, id_col, max_bucket_size)
+    return (
+        grouped.select(
+            _pairs_from_sorted_array(
+                "ds", f"x.{id_col} as doc_a, y.{id_col} as doc_b"
+            ).alias("p")
+        )
+        .select("p.*")
         .distinct()
     )
 

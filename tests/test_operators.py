@@ -378,3 +378,31 @@ def test_ngram_jaccard_cap_strategies_agree(spark):
         ).collect()
     )
     assert a == b and a
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """A bucket over max_bucket_size is dropped whole (standard LSH
+    practice for boilerplate signatures); small buckets still pair."""
+    from deidentify_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    # 12 docs with identical text -> every band bucket has 12 members;
+    # 2 near-dup docs -> buckets of 2
+    long_doc = " ".join(GEN_SENTENCES["en"][:8])
+    rows = [(i, "common boilerplate text repeated everywhere always") for i in range(12)]
+    rows += [(100, long_doc), (101, long_doc + " extra tail.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.doc_a, r.doc_b) for r in
+              minhash_lsh_candidates(df, n=3, k=8, bands=4, max_bucket_size=10).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 12 and b < 12 for a, b in capped)
+    uncapped = {(r.doc_a, r.doc_b) for r in
+                minhash_lsh_candidates(df, n=3, k=8, bands=4).collect()}
+    assert any(a < 12 and b < 12 for a, b in uncapped)
+    # same guard on simhash
+    sh = {(r.doc_a, r.doc_b) for r in
+          simhash_near_dups(df, max_hamming=3, max_bucket_size=10).collect()}
+    assert (100, 101) in sh
+    assert not any(a < 12 and b < 12 for a, b in sh)

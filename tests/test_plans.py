@@ -155,3 +155,33 @@ def test_minhash_no_shingle_distinct_shuffle(spark):
     # second exchange keyed on (doc_id, shingle)
     assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_minhash_and_simhash_plans_join_free(spark):
+    """The LSH-family candidate operators are linear chains: one pass over
+    the source, groupBy-collect buckets, pair explosion — no join operator
+    (a bucket self-join would recompute shingles/signatures per branch),
+    and exactly one evaluation of the SimHash UDF."""
+    from deidentify_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    joins = ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+             "CartesianProduct", "BroadcastNestedLoopJoin")
+
+    mh = minhash_lsh_candidates(docs, n=3, k=8, bands=4, max_bucket_size=1000)
+    mh.count()
+    plan = _plan(mh)
+    for j in joins:
+        assert j not in plan, j
+    assert plan.count("documents.parquet") == 1
+
+    sh = simhash_near_dups(docs, max_hamming=3, max_bucket_size=1000)
+    sh.count()
+    plan = _plan(sh)
+    for j in joins:
+        assert j not in plan, j
+    assert plan.count("documents.parquet") == 1
+    assert plan.count("ArrowEvalPython") == 1  # signature UDF runs once
