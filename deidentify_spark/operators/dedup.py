@@ -5,23 +5,27 @@ SimHash's bit-mixing, which is a vectorized pandas UDF) and scale as:
 
 * exact:      one hash-groupBy shuffle on md5(text).
 * minhash LSH: explode word shingles -> per-doc K minhashes (aggregate,
-  map-side combinable) -> band -> groupBy band signature -> candidate
-  pairs within buckets. No O(n^2) stage; the only joins are
-  bucket-local. Hashing uses hex-prefix-of-md5 so DuckDB can replicate
-  byte-for-byte (driver oracle).
-* simhash:    64-bit signature per doc from hashed word features, banded
-  into 16-bit quadrants for Hamming<=3-ish candidate buckets.
-* ngram jaccard: shingle self-join (equi-join on shingle hash) ->
-  common-shingle counts -> exact Jaccard filter. Quadratic only within
-  identical-shingle groups; for web-scale use the minhash candidates as
-  the left side instead of all pairs.
-* embedding cosine: block the cartesian with sign-LSH buckets (see
-  operators/similarity.py) or run exact for small dims/tables.
+  map-side combinable) -> band -> groupBy band signature -> each bucket
+  explodes its own C(m,2) candidate pairs. JOIN-FREE: Spark does not
+  reuse exchanges across self-join branches, so a bucket self-join would
+  recompute shingles+signatures per side. Hashing uses hex-prefix-of-md5
+  so DuckDB can replicate byte-for-byte (driver oracle).
+* simhash:    60-bit signature per doc from hashed word features, banded
+  into 15-bit quadrants for Hamming<=3 candidate buckets; the signature
+  rides into the buckets so verify needs no re-join (one UDF pass).
+* ngram jaccard: stop-shingle cap -> per-doc set sizes annotated as a
+  column -> per-shingle pair explosion (bounded by the cap) -> one count
+  aggregate -> exact Jaccard filter. Join-free when capped; classic
+  self-join form kept for uncapped bounded corpora.
+* embedding cosine: sign-LSH banded buckets + exact verify
+  (embedding_near_dup_pairs_lsh); exact all-pairs only for small tables.
+
+Degenerate buckets (boilerplate signatures shared by huge doc sets) are
+dropped whole via max_bucket_size — run exact_dedup first so identical
+docs never reach the LSH stages.
 """
 
 from __future__ import annotations
-
-from zlib import crc32
 
 import numpy as np
 import pandas as pd
