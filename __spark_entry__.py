@@ -561,6 +561,20 @@ def ann_cosine_lsh_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_cosine_ivf_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate top-10 (the second ANN scale path next to
+    sign-LSH): deterministic data-sampled centroids, probe the 4 nearest
+    of 16 clusters, exact cosine inside the probe. Golden-oracled (the
+    centroid assignment isn't SQL-expressible)."""
+    from deidentify_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk_ivf(
+        emb.where(F.col("vec_id") != 0), list(q), k=10, n_clusters=16, n_probe=4
+    )
+
+
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deidentify_spark.operators.multimodal import decode_assets, synthesize_assets
 
@@ -755,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups_documents": simhash_near_dups_documents,
         "winnowing_fingerprints_documents": winnowing_fingerprints_documents,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
+        "ann_cosine_ivf_top10": ann_cosine_ivf_top10,
         "multimodal_decode_features": multimodal_decode_features,
         "langid_documents_counts": langid_documents_counts,
         "scrub_documents": scrub_documents,
@@ -1202,6 +1217,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_cosine_lsh_top10": _golden_values_sql(
             "ann_lsh_golden.json",
+            [("vec_id", "BIGINT"), ("cosine", "DOUBLE")],
+        ),
+        "ann_cosine_ivf_top10": _golden_values_sql(
+            "ann_ivf_golden.json",
             [("vec_id", "BIGINT"), ("cosine", "DOUBLE")],
         ),
         "langid_documents_counts": _golden_values_sql(

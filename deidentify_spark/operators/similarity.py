@@ -92,6 +92,75 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame, n_clusters: int = 16, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic data-sampled IVF centroids: the ``n_clusters``
+    vectors with the smallest xxhash64(id) (a stable pseudo-random
+    sample), L2-normalized. No Lloyd iterations on purpose: float
+    cluster-mean updates depend on distributed summation order, which
+    would make assignments (and golden oracles) nondeterministic; a
+    data-sampled coarse quantizer is the standard training-free IVF
+    baseline and keeps the whole operator a pure function of the data.
+    The driver collect is O(n_clusters) rows."""
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
+        .limit(n_clusters)
+        .collect()
+    )
+    c = np.array([list(r[1]) for r in rows], dtype=np.float32)
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """array<float> -> int cluster id: argmax cosine against the (small)
+    broadcast centroid matrix, one numpy matmul per Arrow batch. At scale
+    the assignment is precomputed once and stored as a partition column."""
+    c = np.ascontiguousarray(centroids, dtype=np.float32)
+
+    @F.pandas_udf(IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ c.T
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    return assign
+
+
+def cosine_topk_ivf(
+    emb: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every vector to its nearest
+    coarse centroid, probe only the ``n_probe`` clusters nearest the
+    query, exact-rank the survivors (JVM-side cosine). The second scale
+    path next to sign-LSH (cosine_topk_lsh): per-query work drops to
+    ~n * n_probe / n_clusters, and on a real deployment the assignment
+    column is precomputed + used as a partition key so a probe is a
+    partition-pruned scan, not a filter."""
+    c = centroids if centroids is not None else ivf_centroids(
+        emb, n_clusters, id_col, vec_col
+    )
+    q = np.asarray(query_vec, dtype=np.float32)
+    q = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(c @ q), kind="stable")
+    probe = [int(x) for x in order[:n_probe]]
+    assign = ivf_assign_udf(c)
+    cands = emb.where(assign(F.col(vec_col)).isin(probe))
+    return cosine_topk_bruteforce(cands, query_vec, k, id_col, vec_col)
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],
