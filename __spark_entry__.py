@@ -645,9 +645,11 @@ def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approx_count_distinct demonstrated WITH a value oracle: the
     query returns the exact distinct counts plus booleans asserting the
-    sketch landed within 5% of exact (HLL++ rsd default is 0.05); the
-    oracle pins the exact counts and TRUE. A raw sketch value can't
-    hash-match DuckDB (different algorithm), a tolerance check can."""
+    sketch landed within 15% of exact (3 sigma of the default rsd=0.05 —
+    a 1-sigma band would legitimately fail ~1/3 of the time once counts
+    leave HLL's sparse-exact range); the oracle pins the exact counts and
+    TRUE. A raw sketch value can't hash-match DuckDB (different
+    algorithm), a tolerance check can."""
     docs = _t(spark, sf_dir, "documents")
     agg = docs.agg(
         F.countDistinct("text").alias("n_exact_texts"),
@@ -658,14 +660,14 @@ def approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_exact_texts",
         (
-            (F.col("_apx_t") >= F.col("n_exact_texts") * 0.95)
-            & (F.col("_apx_t") <= F.col("n_exact_texts") * 1.05)
-        ).alias("approx_texts_within_5pct"),
+            (F.col("_apx_t") >= F.col("n_exact_texts") * 0.85)
+            & (F.col("_apx_t") <= F.col("n_exact_texts") * 1.15)
+        ).alias("approx_texts_within_3sigma"),
         "n_exact_sources",
         (
-            (F.col("_apx_s") >= F.col("n_exact_sources") * 0.95)
-            & (F.col("_apx_s") <= F.col("n_exact_sources") * 1.05)
-        ).alias("approx_sources_within_5pct"),
+            (F.col("_apx_s") >= F.col("n_exact_sources") * 0.85)
+            & (F.col("_apx_s") <= F.col("n_exact_sources") * 1.15)
+        ).alias("approx_sources_within_3sigma"),
     )
 
 
@@ -1164,9 +1166,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "approx_distinct_documents": """
             SELECT COUNT(DISTINCT text) AS n_exact_texts,
-                   TRUE AS approx_texts_within_5pct,
+                   TRUE AS approx_texts_within_3sigma,
                    COUNT(DISTINCT source) AS n_exact_sources,
-                   TRUE AS approx_sources_within_5pct
+                   TRUE AS approx_sources_within_3sigma
             FROM documents
         """,
         "daily_order_momentum": """

@@ -21,8 +21,11 @@ from __future__ import annotations
 import math
 
 
-def go_format_float(f: float) -> str:
-    """Go strconv.FormatFloat(f, 'g', -1, 64)."""
+def go_format_float(f: float, bits: int = 64) -> str:
+    """Go strconv.FormatFloat(f, 'g', -1, bits). ``bits=32`` computes the
+    float32-shortest digit string (numpy's float32 repr), matching Go's
+    %v of a float32 — the float64-shortest form of the same value would
+    be e.g. '0.10000000149011612' instead of '0.1'."""
     if math.isnan(f):
         return "NaN"
     if math.isinf(f):
@@ -30,7 +33,12 @@ def go_format_float(f: float) -> str:
     if f == 0.0:
         return "-0" if math.copysign(1.0, f) < 0 else "0"
     neg = "-" if f < 0 else ""
-    s = repr(abs(float(f)))  # shortest round-trip digits (CPython float_repr)
+    if bits == 32:
+        import numpy as np
+
+        s = repr(np.float32(abs(float(f))))  # float32-shortest digits
+    else:
+        s = repr(abs(float(f)))  # shortest round-trip digits (float_repr)
     if "e" in s:
         mant, _, ex = s.partition("e")
         e = int(ex)

@@ -97,17 +97,34 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
-def _pairs_from_sorted_array(col_name: str, fields: str) -> Column:
-    """C(m,2) ordered pairs from a sorted array column, as exploded
-    structs — the join-free pair-emission idiom shared by the LSH-family
-    operators (Spark does not reuse exchanges across self-join branches,
-    so a bucket self-join would recompute the whole upstream per side)."""
-    return F.explode(
-        F.expr(
-            f"flatten(transform({col_name}, (x, i) -> "
-            f"transform(slice({col_name}, i + 2, size({col_name}) - i - 1), "
-            f"y -> struct({fields}))))"
+def _emit_bucket_pairs(grouped: DataFrame, arr_col: str, fields: str) -> DataFrame:
+    """C(m,2) ordered pairs from a sorted-array column, streamed — the
+    join-free pair-emission idiom shared by the LSH-family operators
+    (Spark does not reuse exchanges across self-join branches, so a
+    bucket self-join would recompute the whole upstream per side).
+
+    TWO-STAGE explode on purpose: posexplode the members first, then each
+    member row emits only its own successors — per-row memory stays O(m)
+    and pairs stream across rows. A single flatten(transform(...)) would
+    materialize all m(m-1)/2 pair structs in ONE array cell, which for a
+    hot bucket means a multi-GB cell / the 2^31 array-element wall
+    instead of spill-friendly rows. ``fields`` references x.* and y.*
+    and must produce ``doc_a``/``doc_b``; a strict doc_a < doc_b filter
+    drops self-pairs when the input carries duplicate ids."""
+    step = grouped.select(
+        F.col(arr_col), F.posexplode(arr_col).alias("_i", "x")
+    )
+    return (
+        step.select(
+            F.explode(
+                F.expr(
+                    f"transform(slice({arr_col}, _i + 2, size({arr_col}) - _i - 1), "
+                    f"y -> struct({fields}))"
+                )
+            ).alias("p")
         )
+        .select("p.*")
+        .where(F.col("doc_a") < F.col("doc_b"))
     )
 
 
@@ -118,24 +135,26 @@ def minhash_lsh_candidates(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded minhash signatures.
 
     k/bands rows per band; docs sharing any full band signature become a
     candidate pair. Pair emission is JOIN-FREE: one groupBy on
-    (band, sig) collects each bucket's doc ids and explodes its C(m,2)
-    pairs — the banded-signature table is computed ONCE (a self-join
-    would recompute shingles + signatures per side; Spark does not reuse
-    exchanges across branches), and no join operator appears in the plan.
+    (band, sig) collects each bucket's doc ids and streams its C(m,2)
+    pairs (two-stage explode, see _emit_bucket_pairs) — the
+    banded-signature table is computed ONCE (a self-join would recompute
+    shingles + signatures per side; Spark does not reuse exchanges
+    across branches), and no join operator appears in the plan.
 
-    ``max_bucket_size`` drops degenerate buckets (e.g. a boilerplate
-    signature shared by 10^6 docs — run exact_dedup first so identical
-    docs never reach LSH): a bucket of m docs emits m(m-1)/2 pairs, so an
-    uncapped hot bucket is the one place this plan could blow up. Capped
-    buckets are dropped whole, mirroring standard LSH practice; the
-    registered driver query caps at 1000 with the identical HAVING filter
-    in its DuckDB oracle.
+    ``max_bucket_size`` (default 10k) drops degenerate buckets (e.g. a
+    boilerplate signature shared by 10^6 docs — run exact_dedup first so
+    identical docs never reach LSH): a bucket of m docs emits m(m-1)/2
+    pairs, so an uncapped hot bucket is the one place pair volume could
+    blow up (collect_list itself is linear). Capped buckets are dropped
+    whole, mirroring standard LSH practice; pass None only for bounded
+    corpora. The registered driver query caps at 1000 with the identical
+    QUALIFY filter in its DuckDB oracle.
     """
     rows = k // bands
     # distinct=False: min() is duplicate-insensitive, and skipping the
@@ -158,13 +177,7 @@ def minhash_lsh_candidates(
     )
     if max_bucket_size is not None:
         grouped = grouped.where(F.size("ds") <= max_bucket_size)
-    return (
-        grouped.select(
-            _pairs_from_sorted_array("ds", "x as doc_a, y as doc_b").alias("p")
-        )
-        .select("p.*")
-        .distinct()
-    )
+    return _emit_bucket_pairs(grouped, "ds", "x as doc_a, y as doc_b").distinct()
 
 
 def ngram_jaccard_pairs(
@@ -236,23 +249,19 @@ def ngram_jaccard_pairs(
         else:
             raise ValueError(f"unknown cap_strategy: {cap_strategy!r}")
         # join-free pair generation: set sizes ride along, each shingle
-        # group (<= max_doc_freq docs) emits its C(m,2) pairs directly
+        # group (<= max_doc_freq docs) streams its C(m,2) pairs
         sh = sh.withColumn(
             "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
         )
         grouped = sh.groupBy("shingle").agg(
             F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds")
         )
-        pairs = grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), y -> "
-                    f"struct(x.{id_col} as doc_a, y.{id_col} as doc_b, "
-                    "x.n_sh as n_a, y.n_sh as n_b))))"
-                )
-            ).alias("p")
-        ).select("p.*")
+        pairs = _emit_bucket_pairs(
+            grouped,
+            "ds",
+            f"x.{id_col} as doc_a, y.{id_col} as doc_b, "
+            "x.n_sh as n_a, y.n_sh as n_b",
+        )
         common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
             F.count(F.lit(1)).alias("n_common")
         )
@@ -493,7 +502,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Verified SimHash near-dups: candidate pairs from quadrant buckets,
     then an exact Hamming-distance filter via bit_count(xor) — all
@@ -507,17 +516,12 @@ def simhash_near_dups(
     across self-join branches). ``max_bucket_size`` guards degenerate
     buckets as in minhash_lsh_candidates."""
     grouped = _simhash_quad_groups(df, text_col, id_col, max_bucket_size)
-    pairs = (
-        grouped.select(
-            _pairs_from_sorted_array(
-                "ds",
-                f"x.{id_col} as doc_a, y.{id_col} as doc_b, "
-                "x.sig as sig_a, y.sig as sig_b",
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
-    )
+    pairs = _emit_bucket_pairs(
+        grouped,
+        "ds",
+        f"x.{id_col} as doc_a, y.{id_col} as doc_b, "
+        "x.sig as sig_a, y.sig as sig_b",
+    ).distinct()
     return (
         pairs.withColumn(
             "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
@@ -531,21 +535,15 @@ def simhash_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = None,
+    max_bucket_size: int | None = 10000,
 ) -> DataFrame:
     """Near-dup candidates: equal 15-bit SimHash quadrant (Hamming<=3 docs
     must share at least one of 4 quadrants — pigeonhole). Join-free, one
     UDF pass (see simhash_near_dups)."""
     grouped = _simhash_quad_groups(df, text_col, id_col, max_bucket_size)
-    return (
-        grouped.select(
-            _pairs_from_sorted_array(
-                "ds", f"x.{id_col} as doc_a, y.{id_col} as doc_b"
-            ).alias("p")
-        )
-        .select("p.*")
-        .distinct()
-    )
+    return _emit_bucket_pairs(
+        grouped, "ds", f"x.{id_col} as doc_a, y.{id_col} as doc_b"
+    ).distinct()
 
 
 def embedding_near_dup_pairs_lsh(
@@ -577,7 +575,14 @@ def embedding_near_dup_pairs_lsh(
     from deidentify_spark.operators.similarity import lsh_band_udf
 
     if dim is None:
-        dim = len(emb.select(vec_col).head()[0])
+        first = emb.select(vec_col).head()
+        if first is None:  # empty input -> empty result, not a TypeError
+            return emb.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine"),
+            ).where(F.lit(False))
+        dim = len(first[0])
     banded = emb.select(
         F.col(id_col),
         F.explode(lsh_band_udf(dim, n_planes, bands, seed)(F.col(vec_col))).alias(

@@ -140,7 +140,10 @@ def decode_assets(
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            # no bytes() copies: frombuffer views the Arrow-owned buffers
+            # directly and np.concatenate makes the single working copy
+            # (hashlib accepts the raw objects as-is)
+            payloads = pdf["payload"].tolist()
             n = len(payloads)
             if n == 0:
                 continue
@@ -152,7 +155,9 @@ def decode_assets(
             # to the scalar byte_histogram_features (integer counts are
             # exact in f32; the division matches elementwise)
             lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
-            cat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            cat = np.concatenate(
+                [np.frombuffer(p, dtype=np.uint8) for p in payloads]
+            )
             keys = np.repeat(np.arange(n, dtype=np.int64), lens) * 64 + (cat >> 2)
             hist = (
                 np.bincount(keys, minlength=n * 64)
@@ -176,8 +181,11 @@ def decode_assets(
 
     # No repartition: shuffling every payload byte just to bound batch
     # size is wasted IO at scale — Arrow batch size is bounded by
-    # spark.sql.execution.arrow.maxRecordsPerBatch (and per-batch memory
-    # here is ~64 floats + metadata per row beyond the payload itself).
+    # spark.sql.execution.arrow.maxRecordsPerBatch; transient memory
+    # beyond the Arrow batch is ONE concatenated copy of the payload
+    # bytes (for the vectorized histogram) plus 64 floats per row. For
+    # multi-MB assets, lower maxRecordsPerBatch so batch-bytes stay
+    # bounded (records, not bytes, is Spark's unit here).
     return assets.mapInPandas(decode, DECODED_SCHEMA)
 
 

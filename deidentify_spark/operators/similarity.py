@@ -22,19 +22,24 @@ from pyspark.sql.types import ArrayType, IntegerType
 _PLANES_CACHE: dict[tuple[int, int, int], np.ndarray] = {}
 
 
+def splitmix_uniform(idx: np.ndarray, seed: int) -> np.ndarray:
+    """Counter-mode splitmix64 mapped to uniform [-1, 1) float64 — the
+    shared deterministic pseudo-randomness for LSH hyperplanes and the
+    synthetic embedding source (no RNG state, same on every executor)."""
+    h = (idx.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    h ^= h >> np.uint64(33)
+    h *= np.uint64(0xFF51AFD7ED558CCD)
+    h ^= h >> np.uint64(33)
+    return (h.astype(np.float64) / 2**64) * 2.0 - 1.0
+
+
 def _planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplanes: unit normals derived from
-    a counter-mode hash (no RNG state, same on every executor)."""
+    """Deterministic pseudo-random hyperplanes (splitmix_uniform)."""
     key = (dim, n_planes, seed)
     if key not in _PLANES_CACHE:
-        idx = np.arange(dim * n_planes, dtype=np.uint64)
-        h = (idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) & np.uint64(
-            0xFFFFFFFFFFFFFFFF
-        )
-        h ^= h >> np.uint64(33)
-        h *= np.uint64(0xFF51AFD7ED558CCD)
-        h ^= h >> np.uint64(33)
-        vals = (h.astype(np.float64) / 2**64) * 2.0 - 1.0
+        vals = splitmix_uniform(np.arange(dim * n_planes, dtype=np.uint64), seed)
         _PLANES_CACHE[key] = vals.reshape(n_planes, dim).astype(np.float32)
     return _PLANES_CACHE[key]
 
@@ -111,7 +116,10 @@ def ivf_centroids(
         .collect()
     )
     c = np.array([list(r[1]) for r in rows], dtype=np.float32)
-    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    norms = np.linalg.norm(c, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0  # an all-zero sampled vector must not yield
+    # a NaN centroid (NaN wins every argmax and poisons assignment)
+    c /= norms
     return c
 
 

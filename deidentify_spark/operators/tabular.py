@@ -95,11 +95,31 @@ def _go_str(col_name: str, dtype: str):
     if dtype in ("float", "double"):
         from deidentify_spark.functions.coerce import go_format_float
 
+        bits = 32 if dtype == "float" else 64
+
+        # Route through the JVM string cast first: a float64 pandas
+        # series cannot distinguish SQL NULL from a NaN VALUE (Arrow
+        # hands both over as NaN), but Java's toString keeps them apart
+        # (null vs 'NaN') — and the reference hashes NaN cells as the
+        # Go %v string 'NaN', it does not null them out. The cast string
+        # is round-trip-unique, so re-parsing recovers the exact value
+        # before Go-shortest formatting.
         @F.pandas_udf(StringType())
         def fmt(v: pd.Series) -> pd.Series:
-            return v.map(lambda x: None if pd.isna(x) else go_format_float(float(x)))
+            def conv(s):
+                if s is None:
+                    return None
+                if s == "NaN":
+                    return "NaN"
+                if s == "Infinity":
+                    return "+Inf"
+                if s == "-Infinity":
+                    return "-Inf"
+                return go_format_float(float(s), bits)
 
-        return fmt(col)
+            return v.map(conv)
+
+        return fmt(col.cast("string"))
     return col.cast("string")
 
 
@@ -159,6 +179,13 @@ def salted_group_count(
     ``monotonically_increasing_id``, whose value depends on partition
     layout and would make the physical shuffle sizes nondeterministic
     across runs/AQE replans.
+
+    Caveat of the content-hash default: byte-identical projected rows all
+    hash to ONE salt (no deterministic pure function of content can
+    spread identical rows), so a hot key whose rows are duplicates stays
+    hot. Always pass ``salt_key_col`` (a unique id column) when the
+    projection can contain duplicate rows — results are identical either
+    way; only the shuffle spread differs.
     """
     if salt_key_col is not None:
         salt_src = F.xxhash64(salt_key_col)

@@ -24,18 +24,14 @@ from pyspark.sql.types import ArrayType, FloatType
 
 def _hash_unit(ids: np.ndarray, dim: int, seed: int) -> np.ndarray:
     """(n, dim) float32 rows, each a deterministic pseudo-random vector of
-    the given id (counter-mode splitmix64, same scheme as similarity._planes)."""
+    the given id (shared splitmix_uniform from operators/similarity)."""
+    from deidentify_spark.operators.similarity import splitmix_uniform
+
     idx = (
         ids.astype(np.uint64)[:, None] * np.uint64(dim)
         + np.arange(dim, dtype=np.uint64)[None, :]
     )
-    h = (idx * np.uint64(0x9E3779B97F4A7C15) + np.uint64(seed)) & np.uint64(
-        0xFFFFFFFFFFFFFFFF
-    )
-    h ^= h >> np.uint64(33)
-    h *= np.uint64(0xFF51AFD7ED558CCD)
-    h ^= h >> np.uint64(33)
-    return ((h.astype(np.float64) / 2**64) * 2.0 - 1.0).astype(np.float32)
+    return splitmix_uniform(idx, seed).astype(np.float32)
 
 
 def clone_embedding_rows(

@@ -437,3 +437,27 @@ def test_ivf_topk_finds_planted_neighbor(spark):
                              n_clusters=16, n_probe=4).collect()]
     assert approx == again
     emb.unpersist()
+
+
+def test_pair_emitters_skip_self_pairs_and_empty_input(spark):
+    """Duplicate ids never yield (x, x) pairs (strict doc_a < doc_b, as
+    in the DuckDB oracles), and the LSH embedding miner returns an empty
+    frame — not a TypeError — on empty input."""
+    from deidentify_spark.operators.dedup import (
+        embedding_near_dup_pairs_lsh,
+        minhash_lsh_candidates,
+        simhash_near_dups,
+    )
+
+    txt = " ".join(GEN_SENTENCES["en"][:6])
+    df = spark.createDataFrame(
+        [(7, txt), (7, txt), (9, txt + " tail.")], "doc_id long, text string"
+    )
+    mh = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(df).collect()}
+    sh = {(r.doc_a, r.doc_b) for r in simhash_near_dups(df).collect()}
+    assert all(a < b for a, b in mh | sh) and (7, 9) in mh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs_lsh(empty, threshold=0.9)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]

@@ -221,3 +221,35 @@ def test_salted_group_count_deterministic_and_double(spark):
         .collect()
     )
     assert [(k, n, s) for k, n, s in r1] == plain
+
+
+def test_go_format_float32_and_specials():
+    from deidentify_spark.functions.coerce import go_format_float
+
+    assert go_format_float(0.10000000149011612, bits=32) == "0.1"
+    assert go_format_float(1.5, bits=32) == "1.5"
+    assert go_format_float(float("nan")) == "NaN"
+    assert go_format_float(float("inf")) == "+Inf"
+    assert go_format_float(float("-inf")) == "-Inf"
+
+
+def test_table_nan_and_float32_parity(spark):
+    """NaN VALUES scrub as the Go %v string 'NaN' (not NULL) on BOTH
+    engines — the JVM string cast keeps SQL NULL and NaN apart where an
+    Arrow float series could not — and float32 cells hash their
+    32-bit-shortest form ('0.1'), not the float64 widening
+    ('0.10000000149011612')."""
+    rows = [(1, float("nan"), 0.1), (2, None, None), (3, 2.5, 1.5)]
+    df = spark.createDataFrame(rows, "id long, d double, f float")
+    types = {"d": "name", "f": "name"}
+    got = {r.id: r for r in deidentify_table(df, KEY, types).collect()}
+    d = Deidentifier(KEY)
+    assert got[1].d == d.deidentify_value("NaN", "name", "d")
+    assert got[1].f == d.deidentify_value("0.1", "name", "f")
+    assert got[2].d is None and got[2].f is None
+    assert got[3].d == d.deidentify_value("2.5", "name", "d")
+    assert got[3].f == d.deidentify_value("1.5", "name", "f")
+    # oracle table() on the raw Python values agrees for the double col
+    tbl = d.table([{"name": "d", "data_type": "name",
+                    "values": [float("nan"), None, 2.5]}])
+    assert tbl[0]["values"] == [got[1].d, None, got[3].d]
