@@ -87,6 +87,7 @@ def fused_filter_scrub_udf(
             CountingExtendedDeidentifier,
         )
 
+        isnull = text.isna().tolist()
         txt = text.fillna("").tolist()
         n = len(txt)
         preds, confs = predict_batch(txt)
@@ -95,6 +96,15 @@ def fused_filter_scrub_udf(
         ppl = [None] * n
         reason: list[str | None] = [None] * n
         for i in range(n):
+            if isnull[i]:
+                # missing input is its own lineage category — attributing
+                # it to the langid gate ('non_english' for an empty
+                # string) would misreport data-quality nulls as language
+                # filtering in drop_reason_counts
+                reason[i] = "null_text"
+                preds[i] = None
+                confs[i] = None
+                continue
             if preds[i] != target_lang:
                 reason[i] = "non_english"
                 continue
@@ -127,7 +137,7 @@ def fused_filter_scrub_udf(
         return pd.DataFrame(
             {
                 "lang_pred": preds,
-                "lang_conf": confs,
+                "lang_conf": pd.array(confs, dtype="float64"),
                 "top_2gram_frac": pd.array(top2, dtype="float64"),
                 "perplexity": pd.array(ppl, dtype="float64"),
                 "drop_reason": reason,

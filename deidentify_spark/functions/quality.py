@@ -81,10 +81,15 @@ def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
 
     Words are whitespace-separated tokens; lines are newline-separated.
     """
-    words = F.split(F.trim(text), r"\s+")
-    word_count = F.when(F.trim(text) == "", F.lit(0)).otherwise(F.size(words))
+    # (?U): Java \s is ASCII-only by default; Python str.split() treats
+    # unicode whitespace (NBSP etc.) as separators — align to the Python
+    # twin, which is the product (fused) path
+    words = F.filter(
+        F.split(F.trim(text), r"(?U)\s+"), lambda w: w != ""
+    )
+    word_count = F.size(words)
     # mean word length = non-whitespace chars / words
-    non_ws_chars = F.length(F.regexp_replace(text, r"\s", ""))
+    non_ws_chars = F.length(F.regexp_replace(text, r"(?U)\s", ""))
     mean_word_len = non_ws_chars / F.greatest(word_count, F.lit(1))
 
     hash_count = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
@@ -116,16 +121,24 @@ def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
         )
         / n_lines
     )
+    # \p{L}: unicode letters, matching the Python twin's c.isalpha()
+    # (the old [A-Za-zÀ-ÿ] dropped e.g. Cyrillic words as non-alpha)
     alpha_word_frac = (
-        F.size(F.filter(words, lambda w: w.rlike("[A-Za-zÀ-ÿ]")))
+        F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
         / F.greatest(word_count, F.lit(1))
     )
     stop_arr = F.array(*[F.lit(s) for s in cfg.stopwords])
+    # strip punctuation at the ENDS only (Python w.strip(punct)): the old
+    # remove-everywhere form counted 'the5' as the stopword 'the'
+    _punct_cls = "[\"'.,;:!?()\\[\\]{}<>_#-]"
     stopword_count = F.size(
         F.filter(
             words,
             lambda w: F.array_contains(
-                stop_arr, F.lower(F.regexp_replace(w, r"[^A-Za-z]", ""))
+                stop_arr,
+                F.lower(
+                    F.regexp_replace(w, f"^{_punct_cls}+|{_punct_cls}+$", "")
+                ),
             ),
         )
     )
@@ -133,10 +146,9 @@ def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
         F.size(F.array_distinct(lines)) / n_lines.cast("double")
     )
     lowered = F.lower(text)
-    has_banned = None
+    has_banned = F.lit(False)
     for phrase in cfg.banned_phrases:
-        cond = F.instr(lowered, phrase) > 0
-        has_banned = cond if has_banned is None else (has_banned | cond)
+        has_banned = has_banned | (F.instr(lowered, phrase) > 0)
     return {
         "word_count": word_count,
         "mean_word_len": mean_word_len,
@@ -148,13 +160,9 @@ def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
         "dup_line_frac": dup_line_frac,
         "has_lorem": F.instr(lowered, "lorem ipsum") > 0,
         "has_curly": F.instr(text, "{") > 0,
-        "has_policy": (
-            (F.instr(lowered, "enable javascript") > 0)
-            | (F.instr(lowered, "cookies enabled") > 0)
-            | (F.instr(lowered, "cookie policy") > 0)
-            | (F.instr(lowered, "terms of use") > 0)
-            | (F.instr(lowered, "privacy policy") > 0)
-        ),
+        # built from cfg.banned_phrases — a custom phrase list must reach
+        # the Column path too, not just the Python twin
+        "has_policy": has_banned,
     }
 
 

@@ -56,6 +56,9 @@ def _config_fingerprint(cfg: PipelineConfig) -> str:
             "min_lang_conf": cfg.min_lang_conf,
             "max_perplexity": cfg.max_perplexity,
             "n_buckets": cfg.n_buckets,
+            # scrub semantics: resuming with IP detection toggled would
+            # mix two scrub behaviors across buckets in one output
+            "detect_ips": cfg.detect_ips,
             "quality": sorted(
                 (k, str(v)) for k, v in vars(cfg.quality).items()
             ),

@@ -43,8 +43,9 @@ def lineage_metrics(annotated: DataFrame) -> DataFrame:
     )
 
     hits = (
-        annotated.select("bucket", F.explode_outer("pii_hits").alias("kind", "n"))
-        .where(F.col("kind").isNotNull())
+        # plain explode: it already skips null/empty maps, which is what
+        # explode_outer + isNotNull spelled in two operators
+        annotated.select("bucket", F.explode("pii_hits").alias("kind", "n"))
         .groupBy("bucket", "kind")
         .agg(F.sum("n").alias("n"))
         .groupBy("bucket")

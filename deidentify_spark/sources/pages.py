@@ -116,6 +116,32 @@ def _sentences(r: random.Random, lang: str, n: int) -> list[str]:
     return [pool[r.randrange(len(pool))] for _ in range(n)]
 
 
+# sorted lowercase English vocabulary for the word-salad (gibberish)
+# defect class — real words so langid passes, scrambled order so the
+# bigram LM doesn't
+_EN_VOCAB = sorted(
+    {w for s in GEN_SENTENCES["en"] for w in s.lower().split()}
+)
+
+_STOPWORDED_CACHE: dict[tuple, list[str]] = {}
+
+
+def _stopworded_sentences(cfg: QualityConfig) -> list[str]:
+    """English sentences whose own stopword count clears the rule —
+    computed once per stopword config (called per dup_lines doc)."""
+    key = (tuple(cfg.stopwords), cfg.min_stopword_count)
+    if key not in _STOPWORDED_CACHE:
+        stop = set(cfg.stopwords)
+        punct = "\"'.,;:!?()[]{}<>-_#"
+        _STOPWORDED_CACHE[key] = [
+            s
+            for s in GEN_SENTENCES["en"]
+            if sum(1 for w in s.split() if w.lower().strip(punct) in stop)
+            >= cfg.min_stopword_count
+        ]
+    return _STOPWORDED_CACHE[key]
+
+
 def _make_pii(r: random.Random) -> tuple[list[str], list[str], list[str]]:
     """Deterministic PII snippets; returns (sentences, kinds, values)."""
     sentences, kinds, values = [], [], []
@@ -143,21 +169,6 @@ def _make_pii(r: random.Random) -> tuple[list[str], list[str], list[str]]:
         kinds.append(kind)
         values.append(v)
     return sentences, kinds, values
-
-
-def _gibberish_words(r: random.Random, n: int) -> list[str]:
-    letters = "bcdfghjklmnpqrstvwxz"
-    vowels = "aeiouy"
-    out = []
-    for i in range(n):
-        if i % 9 == 4:
-            out.append(r.choice(["the", "and", "of", "to"]))
-            continue
-        w = "".join(
-            r.choice(letters) + r.choice(vowels) for _ in range(2 + r.randrange(3))
-        )
-        out.append(w)
-    return out
 
 
 def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
@@ -211,7 +222,12 @@ def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
         text = " ".join(out)
         keep, reason = False, "symbol_ratio"
     elif category == "dup_lines":
-        s = _sentences(r, "en", 1)[0]
+        # the repeated sentence must itself clear the stopword rule with a
+        # wide margin: few_stopwords PRECEDES duplicate_lines in the rule
+        # order, so a stopword-free sentence (e.g. the grocery-prices one)
+        # would make the actual drop reason diverge from this label
+        pool = _stopworded_sentences(cfg)
+        s = pool[r.randrange(len(pool))]
         text = "\n".join([s] * (20 + r.randrange(15)))
         keep, reason = False, "duplicate_lines"
     elif category == "phrase_loop":
@@ -221,7 +237,22 @@ def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
         text = " ".join([phrase] * (40 + r.randrange(40)))
         keep, reason = False, "top_ngram_repetition"
     elif category == "gibberish":
-        text = " ".join(_gibberish_words(r, cfg.min_words * 3))
+        # word salad from REAL English vocabulary in random order: the
+        # char-ngram langid confidently calls it 'en' while the word-
+        # bigram LM sees almost no trained bigram and scores far above
+        # the perplexity gate. (The old consonant-vowel syllable soup was
+        # dropped by the langid gate ~95% of the time, so the perplexity
+        # rule was nearly untested end-to-end.)
+        vocab = _EN_VOCAB
+        words = []
+        for i in range(cfg.min_words * 3):
+            # guarantee the stopword rule passes with a wide margin
+            # (random sampling alone occasionally drew too few)
+            if i % 10 == 5:
+                words.append(cfg.stopwords[r.randrange(len(cfg.stopwords))])
+            else:
+                words.append(vocab[r.randrange(len(vocab))])
+        text = " ".join(words)
         keep, reason = False, "high_perplexity"
     elif category == "lorem":
         sents = _sentences(r, "en", 10)

@@ -257,9 +257,13 @@ LANGID_TRAINING = {
     ),
 }
 
-# Additional English text for the perplexity LM (trained on
-# LANGID_TRAINING['en'] + this; the generator's GEN_SENTENCES['en'] are
-# held out so perplexity measures generalization, not memorization).
+# Additional English text for the perplexity LM. The LM trains on
+# LANGID_TRAINING['en'] + this + GEN_SENTENCES['en'] (see
+# functions/perplexity.py: the background corpus deliberately covers the
+# clean-English domain, as a production KenLM would) — so perplexity
+# scores measure in-domain fluency, NOT held-out generalization; the
+# word-salad defect class is flagged by word ORDER (unseen bigrams), not
+# vocabulary.
 PERPLEXITY_TRAINING = (
     "The harbor was quiet at dawn, with only a few gulls circling above the "
     "moored boats. A baker rolled up the shutters of his shop and the smell of "

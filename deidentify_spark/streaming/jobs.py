@@ -127,7 +127,10 @@ def stream_dedup_first_seen(
         first_ts = None
         for pdf in pdfs:
             ts = pdf["warc_ts"].min()
-            if first_ts is None or (ts is not None and ts < first_ts):
+            # pandas min() of an all-null chunk is NaT, not None —
+            # pd.notna is the only safe guard (NaT < x is always False,
+            # so a NaT first_ts would stick and be emitted)
+            if pd.notna(ts) and (first_ts is None or ts < first_ts):
                 first_ts = ts
         state.update((1,))
         return iter([pd.DataFrame({"url": [key[0]], "first_ts": [first_ts]})])
