@@ -39,13 +39,24 @@ def infer_column_types(
     sample_df = df.select(*columns)
     if order_by:
         sample_df = sample_df.orderBy(order_by)
-    from deidentify_spark.functions.coerce import go_format_value
+    from deidentify_spark.functions.coerce import go_format_float, go_format_value
+
+    dtypes = dict(df.dtypes)
+
+    def cell(v, c):
+        if v is None:
+            return ""
+        # float columns must stringify with the SAME bits the scrub path
+        # uses (32 for FloatType): collect() widens float32 to a Python
+        # double, and its 64-bit-shortest form ('0.10000000149011612')
+        # has digit runs long enough to mis-infer the column as
+        # phone/ssn, which the scrub would then destroy
+        if dtypes.get(c) == "float":
+            return go_format_float(float(v), bits=32)
+        return go_format_value(v)
 
     rows = sample_df.limit(10).collect()
-    data = [
-        ["" if row[c] is None else go_format_value(row[c]) for c in columns]
-        for row in rows
-    ]
+    data = [[cell(row[c], c) for c in columns] for row in rows]
     oracle = Deidentifier("unused-inference-key")  # inference is key-free
     types = oracle.infer_column_types(data)
     return dict(zip(columns, types))
@@ -106,18 +117,11 @@ def _go_str(col_name: str, dtype: str):
         # before Go-shortest formatting.
         @F.pandas_udf(StringType())
         def fmt(v: pd.Series) -> pd.Series:
-            def conv(s):
-                if s is None:
-                    return None
-                if s == "NaN":
-                    return "NaN"
-                if s == "Infinity":
-                    return "+Inf"
-                if s == "-Infinity":
-                    return "-Inf"
-                return go_format_float(float(s), bits)
-
-            return v.map(conv)
+            # float('NaN'/'Infinity'/'-Infinity') all parse, and
+            # go_format_float maps them to Go's 'NaN'/'+Inf'/'-Inf'
+            return v.map(
+                lambda s: None if s is None else go_format_float(float(s), bits)
+            )
 
         return fmt(col.cast("string"))
     return col.cast("string")
@@ -142,11 +146,26 @@ def group_quality_profile(
 
     def profile(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf[value_col].to_numpy(dtype="float64")
+        # SQL NULLs arrive as NaN: drop them like SQL aggregates do —
+        # np.percentile/mean would otherwise return NaN for the whole
+        # group, guaranteed to mismatch the DuckDB quantile_cont check
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return pd.DataFrame(
+                {
+                    group_col: [pdf[group_col].iloc[0]],
+                    "n_rows": [len(pdf)],
+                    "mean_value": [None],
+                    "p25": [None],
+                    "p50": [None],
+                    "p75": [None],
+                }
+            )
         q25, q50, q75 = np.percentile(v, [25, 50, 75], method="linear")
         return pd.DataFrame(
             {
                 group_col: [pdf[group_col].iloc[0]],
-                "n_rows": [len(v)],
+                "n_rows": [len(pdf)],  # COUNT(*): all rows incl. nulls
                 "mean_value": [round(float(v.mean()), 4)],
                 "p25": [round(float(q25), 4)],
                 "p50": [round(float(q50), 4)],

@@ -186,12 +186,21 @@ class Deidentifier:
             return ""
         if data_type == TYPE_GENERIC:
             return value
+        gen = self._GENERATORS.get(data_type)
+        if gen is None:
+            # Go's closed DataType enum makes an invalid type
+            # unrepresentable at compile time; the string-typed port must
+            # check, or a one-keystroke typo ('emial') silently replaces
+            # a whole column with DATA_xxxx generic fakes
+            known = sorted(self._GENERATORS) + [TYPE_GENERIC]
+            raise ValueError(
+                f"unknown data_type {data_type!r}; expected one of {known}"
+            )
         col_memo = self._memo.get(column_name)
         if col_memo is not None:
             cached = col_memo.get(value)
             if cached is not None:
                 return cached
-        gen = self._GENERATORS.get(data_type, Deidentifier.generate_generic)
         result = gen(self, value)
         self._memo.setdefault(column_name, {})[value] = result
         return result

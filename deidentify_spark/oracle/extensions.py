@@ -4,8 +4,10 @@ BASELINE.json's north_star lists IP addresses among the PII classes, but
 the reference library has no IP detector (patterns.go has none). This
 module adds one as an opt-in extension, kept strictly out of the default
 ``Deidentifier.text()`` path so reference byte-parity is untouched:
-``ExtendedDeidentifier.text()`` = IP pass first, then the 8 reference
-passes.
+``ExtendedDeidentifier.text()`` runs the IP pass between the email pass
+and the phone pass (after emails so quads inside email hostnames belong
+to the email replacement; before phones so remaining quads can't be
+half-eaten by the phone shape).
 
 Detection is validated, not just shape-matched: the dotted-quad regex is
 gated on every octet being <= 255 (the "checksum" analogue for IPs).
@@ -50,15 +52,10 @@ class ExtendedDeidentifier(Deidentifier):
         c = hash_to_index(h[16:24], 256)
         return f"10.{a}.{b}.{c}"
 
-    def deidentify_value(self, value: str, data_type: str, column_name: str) -> str:
-        if value != "" and data_type == TYPE_IP:
-            col_memo = self._memo.get(column_name)
-            if col_memo is not None and value in col_memo:
-                return col_memo[value]
-            result = self.generate_ip(value)
-            self._memo.setdefault(column_name, {})[value] = result
-            return result
-        return super().deidentify_value(value, data_type, column_name)
+    # extend the base dispatch table instead of re-implementing the
+    # memo/dispatch protocol (base deidentify_value handles empty-string,
+    # generic-passthrough and memoization for TYPE_IP identically)
+    _GENERATORS = {**Deidentifier._GENERATORS, TYPE_IP: generate_ip}
 
     def _process_ips(self, text: str) -> str:
         def repl(m):
@@ -69,9 +66,11 @@ class ExtendedDeidentifier(Deidentifier):
 
         return IPV4_RE.sub(repl, text)
 
-    def text(self, text: str) -> str:
-        """IP pass FIRST (dotted quads must not reach the phone pass,
-        which would mangle some shapes), then the reference pipeline."""
-        if text == "":
-            return ""
-        return super().text(self._process_ips(text))
+    def _process_phones(self, text: str) -> str:
+        """IP pass sits BETWEEN the email pass and the phone pass: after
+        emails so a dotted quad inside an email hostname is consumed by
+        the email replacement (running IPs first rewrote the quad and
+        made text()'s output diverge from the scalar .email() API for
+        the same value), and before phones so remaining quads can't be
+        half-eaten by the phone shape."""
+        return super()._process_phones(self._process_ips(text))

@@ -55,10 +55,17 @@ NAME_PATTERN = rf"{_WB_L}[A-Z][a-z]+ [A-Z][a-z]+{_WB_R}"
 _ADDRESS_WORDS = (
     "Street|Avenue|Road|Lane|Drive|Boulevard|Blvd|Way|Plaza|Square|Court|"
     "Terrace|Place|Circle|Alley|Row|Highway|Hwy|Parkway|Path|Trail|Crescent|"
-    "Rue|Strasse|Straße|Calle|Via|Viale|Avenida|Carrer|Straat|Gasse|Weg|"
+    "Rue|Strasse|Calle|Via|Viale|Avenida|Carrer|Straat|Gasse|Weg|"
     "Camino|Ulica|Utca|Prospekt|Dori|Jalan|Marg|Dao|Jie|Lu"
 )
-ADDRESS_WORD_PATTERN = rf"(?i){_WB_L}({_ADDRESS_WORDS}){_WB_R}"
+# 'Straße' gets its own branch: RE2's \b is ASCII, and 'ß' is NOT a word
+# char there — so Go's trailing \b after 'Straße' holds only when a word
+# char FOLLOWS (it matches inside 'Straßenbahn', never standalone
+# 'Straße '). The uniform (?![0-9A-Za-z_]) transcription would invert
+# that. Replicate the code, not the intent (SURVEY §0.2 spirit).
+ADDRESS_WORD_PATTERN = (
+    rf"(?i){_WB_L}(?:({_ADDRESS_WORDS}){_WB_R}|Straße(?=[0-9A-Za-z_]))"
+)
 
 INTERNATIONAL_ADDRESS_PATTERN = (
     "(?i)(street|avenue|road|lane|drive|boulevard|blvd|way|plaza|square|court|"

@@ -82,3 +82,37 @@ def test_pipeline_flag_smoke(spark):
     assert "192.168.1.100" not in out_on.scrubbed_text
     assert out_on.pii_hits.get("ip", 0) == 1
     assert "ip" not in (out_off.pii_hits or {})
+
+
+def test_ip_pass_runs_after_email_pass():
+    """A dotted quad inside an email hostname belongs to the EMAIL
+    replacement: text() must produce the same fake as the scalar .email()
+    API for the identical value (the old IP-first order rewrote the quad
+    inside the email and broke same-(key,value)->same-fake)."""
+    from deidentify_spark.oracle.extensions import ExtendedDeidentifier
+
+    d = ExtendedDeidentifier("k")
+    addr = "user@123.231.12.98.example.com"
+    out = d.text(f"contact {addr} now")
+    d2 = ExtendedDeidentifier("k")
+    assert d2.email(addr) in out
+    # standalone quads still get the IP treatment, before the phone pass
+    d3 = ExtendedDeidentifier("k")
+    out2 = d3.text("server at 192.168.7.13 responded")
+    assert "192.168.7.13" not in out2 and "10." in out2
+
+
+def test_unknown_data_type_raises():
+    import pytest as _pytest
+
+    from deidentify_spark.oracle import Deidentifier
+
+    d = Deidentifier("k")
+    with _pytest.raises(ValueError, match="unknown data_type"):
+        d.deidentify_value("x@y.com", "emial", "email")
+    # extension types reach the extended engine's table
+    from deidentify_spark.oracle.extensions import ExtendedDeidentifier
+
+    assert ExtendedDeidentifier("k").deidentify_value(
+        "1.2.3.4", "ip", "ip"
+    ).startswith("10.")

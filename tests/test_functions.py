@@ -105,3 +105,55 @@ def test_quality_rules_python_matches_column_expressions(spark):
         if col is None and py == "top_ngram_repetition":
             col = "top_ngram_repetition"
         assert py == col, (py, col, row.text[:120])
+
+
+def test_quality_rules_parity_non_ascii(spark):
+    """The Column rules must agree with the Python twin on the unicode
+    edge cases that used to diverge: unicode-letter words (isalpha vs
+    [A-Za-zÀ-ÿ]), digit-suffixed stopwords ('the5': ends-strip vs
+    remove-all-non-letters), NBSP word separators (Python split() vs
+    Java ASCII \\s), and custom banned phrases reaching the Column path."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from deidentify_spark.functions.quality import (
+        QualityConfig,
+        quality_drop_reason,
+        quality_metrics,
+        quality_post_reason_py,
+        quality_pre_reason_py,
+    )
+
+    cfg = QualityConfig()
+    base = (
+        "the quick brown fox jumps over a lazy dog and runs through "
+        "one wide field with many other animals to see what is here today "
+        "while birds fly over tall trees near an old farm by that river "
+    )
+    filler = base + base.replace("quick", "small").replace("lazy", "tired")
+    texts = [
+        # Cyrillic words must count as alpha words (unicode letters)
+        filler + " привет мир это тест слова на русском языке здесь",
+        # 'the5' etc must NOT be counted as stopwords
+        " ".join(["the5 and7 of9 to3 in2 word"] * 8),
+        # NBSP separators: same word count both sides
+        filler.replace(" ", " ", 10),
+        # custom banned phrase must fire on the Column path too
+        filler + " special forbidden marker here.",
+        filler,  # clean control
+    ]
+    custom = replace(cfg, banned_phrases=cfg.banned_phrases + ("forbidden marker",))
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    m = quality_metrics(F.col("text"), custom)
+    col_rows = df.select(
+        "text", quality_drop_reason(m, F.lit(None).cast("double"), custom).alias("r")
+    ).collect()
+    for row in col_rows:
+        py = quality_pre_reason_py(row.text, custom)
+        if py is None:
+            py = quality_post_reason_py(row.text, custom)
+        assert py == row.r, (py, row.r, row.text[:80])
+    # and the banned phrase actually fired
+    by_text = {r.text: r.r for r in col_rows}
+    assert by_text[texts[3]] == "policy_phrase"

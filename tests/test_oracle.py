@@ -443,3 +443,16 @@ def test_golden_scrub_outputs_frozen(d, corpus):
         assert d.address(addr) == expected
     for tc in corpus["text_cases"]:
         assert d.text(tc["text"]) == golden["text_cases_scrubbed"][tc["id"]]
+
+
+def test_address_word_strasse_matches_re2_boundary():
+    """RE2's ASCII \\b after 'Straße' (ends in non-word 'ß') holds only
+    when a WORD char follows — Go never matches standalone 'Straße', but
+    does match it inside 'Straßenbahn'. The transcription must replicate
+    the code, not the intent."""
+    from deidentify_spark.oracle import patterns as P
+
+    assert P.ADDRESS_WORD_RE.search("Marien Straße") is None
+    assert P.ADDRESS_WORD_RE.search("die Straßenbahn hier") is not None
+    assert P.ADDRESS_WORD_RE.search("Main Street") is not None
+    assert P.ADDRESS_WORD_RE.search("Strasse") is not None  # ASCII form

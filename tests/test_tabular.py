@@ -253,3 +253,30 @@ def test_table_nan_and_float32_parity(spark):
     tbl = d.table([{"name": "d", "data_type": "name",
                     "values": [float("nan"), None, 2.5]}])
     assert tbl[0]["values"] == [got[1].d, None, got[3].d]
+
+
+def test_infer_float32_column_stays_generic(spark):
+    """FloatType columns stringify with 32-bit Go formatting during
+    inference — the 64-bit widening ('0.10000000149011612') carried digit
+    runs long enough to mis-infer ordinary numeric columns as phone/ssn,
+    which the scrub would then destroy."""
+    df = spark.createDataFrame(
+        [(1, 0.1), (2, 0.2), (3, 0.3)], "id long, amount float"
+    )
+    types = infer_column_types(df, order_by="id")
+    assert types["amount"] == "generic"
+
+
+def test_group_profile_ignores_nulls(spark):
+    """SQL aggregates ignore NULLs; the grouped-map profile must too
+    (NaN would otherwise poison every statistic of the group)."""
+    from deidentify_spark.operators.tabular import group_quality_profile
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("b", None)],
+        "g string, v double",
+    )
+    out = {r.g: r for r in group_quality_profile(df, "g", "v").collect()}
+    assert out["a"].n_rows == 3 and out["a"].mean_value == 2.0
+    assert out["a"].p50 == 2.0
+    assert out["b"].n_rows == 1 and out["b"].mean_value is None
