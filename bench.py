@@ -40,7 +40,7 @@ for _v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
 _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
-if _REPO not in os.environ.get("PYTHONPATH", ""):
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
     os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,31 +131,38 @@ def _hw_init(n_docs: int) -> None:
 
 
 def _hw_work(_: int) -> int:
-    """Identical per-doc python work to the fused pipeline stage."""
+    """Identical per-doc python work to the fused pipeline stage.
+
+    Thresholds come from PipelineConfig() — hand-copied literals would
+    silently diverge from the Spark legs if defaults change, normalizing
+    the scaling efficiency against the wrong baseline."""
     from deidentify_spark.functions.fused import top_2gram_frac
     from deidentify_spark.functions.langid import predict_batch
     from deidentify_spark.functions.perplexity import perplexity
     from deidentify_spark.functions.quality import (
-        QualityConfig,
         quality_post_reason_py,
         quality_pre_reason_py,
     )
     from deidentify_spark.functions.scrub import CountingDeidentifier
+    from deidentify_spark.pipeline.stages import PipelineConfig
 
-    cfg = QualityConfig()
-    d = CountingDeidentifier("bench-key")
+    pcfg = PipelineConfig(secret_key="bench-key")
+    cfg = pcfg.quality
+    d = CountingDeidentifier(pcfg.secret_key)
     docs = _HW_DOCS
     preds, confs = predict_batch(docs)
     for i, t in enumerate(docs):
-        if preds[i] != "en":
+        if preds[i] != pcfg.target_lang:
             continue
         r = quality_pre_reason_py(t, cfg)
         if r is None and top_2gram_frac(t) > cfg.max_top_2gram_frac:
             r = "top_ngram_repetition"
         if r is None:
             r = quality_post_reason_py(t, cfg)
-        if r is None and perplexity(t) > 1500.0:
+        if r is None and perplexity(t) > pcfg.max_perplexity:
             r = "high_perplexity"
+        if r is None and confs[i] < pcfg.min_lang_conf:
+            r = "low_lang_conf"
         if r is None:
             d.text(t)
     return len(docs)
@@ -190,22 +197,21 @@ def main() -> None:
         fn = queries[name]
         # min of two runs: the first pays JVM codegen + parquet footer
         # reads and this box's co-tenant noise swings single shots ~30%;
-        # min-of-2 approximates the steady state a long job runs in
-        best = float("inf")
+        # min-of-2 approximates the steady state a long job runs in.
+        # Materialize with a noop WRITE, never count(): Catalyst prunes
+        # everything count() doesn't need — a count() of scrub_documents
+        # measured a bare parquet scan with the scrub UDF optimized away.
         for _ in range(2):
             t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, time.time() - t0)
-            assert n >= 0
-        q_times[name] = round(best, 3)
+            fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            dt = time.time() - t0
+            q_times[name] = min(q_times.get(name, float("inf")), round(dt, 3))
     spark.stop()
 
     # Scaling legs in fresh subprocesses (clean JVM per parallelism level),
     # plus the bare-multiprocessing hardware ceiling at each level.
     env = dict(os.environ)
     lo = max(CPUS // 4, 1)
-    legs, hw = {}, {}
 
     def _sub(args: list[str]) -> float:
         out = subprocess.run(

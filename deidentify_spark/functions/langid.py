@@ -43,17 +43,25 @@ def _codepoints(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
 
 
-def featurize(s: str) -> np.ndarray:
-    """Hashed char 1/2/3-gram count vector, L2-normalized (float32)."""
-    c = _codepoints(s.lower())
-    if c.size == 0:
-        return np.zeros(_DIM, dtype=np.float32)
+def _ngram_hashes(c: np.ndarray) -> np.ndarray:
+    """Hashed char 1/2/3-gram bucket ids for a codepoint array — THE
+    shared hashing between centroid training (featurize) and document
+    scoring (_sparse_counts). They must stay hash-identical or cosine
+    scores silently lose meaning; keep the mixing in exactly one place."""
     parts = [(c * _M1) & _MASK]
     if c.size >= 2:
         parts.append((c[:-1] * _M1 + c[1:] * _M2) & _MASK)
     if c.size >= 3:
         parts.append(((c[:-2] * _M1 + c[1:-1] * _M2) * _M1 + c[2:]) & _MASK)
-    idx = np.concatenate(parts).astype(np.int64)
+    return np.concatenate(parts)
+
+
+def featurize(s: str) -> np.ndarray:
+    """Hashed char 1/2/3-gram count vector, L2-normalized (float32)."""
+    c = _codepoints(s.lower())
+    if c.size == 0:
+        return np.zeros(_DIM, dtype=np.float32)
+    idx = _ngram_hashes(c).astype(np.int64)
     # single bincount over all n-gram hashes (~5x faster than np.add.at)
     vec = np.bincount(idx, minlength=_DIM).astype(np.float32)
     norm = np.linalg.norm(vec)
@@ -77,12 +85,7 @@ def _sparse_counts(s: str) -> tuple[np.ndarray, np.ndarray]:
     c = _codepoints(s[:_MAX_CHARS].lower())
     if c.size == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
-    parts = [(c * _M1) & _MASK]
-    if c.size >= 2:
-        parts.append((c[:-1] * _M1 + c[1:] * _M2) & _MASK)
-    if c.size >= 3:
-        parts.append(((c[:-2] * _M1 + c[1:-1] * _M2) * _M1 + c[2:]) & _MASK)
-    idx, cnt = np.unique(np.concatenate(parts), return_counts=True)
+    idx, cnt = np.unique(_ngram_hashes(c), return_counts=True)
     return idx.astype(np.int64), cnt.astype(np.float32)
 
 

@@ -18,10 +18,7 @@ from __future__ import annotations
 from zlib import crc32
 
 import numpy as np
-import pandas as pd
 import regex
-from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 _DIM = 1 << 18
 _MASK = _DIM - 1
@@ -75,19 +72,3 @@ def perplexity(text: str) -> float:
     logp = np.log((c_bi + _ALPHA) / (c_uni + _ALPHA * _VOCAB))
     return float(np.exp(-logp.mean()))
 
-
-def perplexity_udf():
-    """Masked Arrow pandas UDF: (text, mask) -> double (NaN where masked
-    out). The mask keeps LM scoring off rows earlier stages already
-    dropped, without splitting the plan."""
-
-    @F.pandas_udf(DoubleType())
-    def ppl(text: pd.Series, mask: pd.Series) -> pd.Series:
-        _get_tables()
-        out = pd.Series(np.nan, index=text.index, dtype="float64")
-        todo = mask.fillna(False).astype(bool) & text.notna()
-        for i in text.index[todo]:
-            out[i] = perplexity(text[i])
-        return out
-
-    return ppl

@@ -7,6 +7,7 @@ window minimum and is a vectorized pandas UDF.
 
 from __future__ import annotations
 
+import re
 from zlib import crc32
 
 import numpy as np
@@ -20,10 +21,29 @@ from pyspark.sql.types import ArrayType, LongType
 # letters | digits | other-non-space run.
 BPE_ISH_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\r]+"
 
+# RE2's \s — the tokenization ground truth for every operator with a
+# DuckDB oracle twin. Spelled out explicitly everywhere because the three
+# engines disagree about '\s': RE2 = [\t\n\f\r ], Java adds \x0B, and
+# Python str.split() adds all unicode whitespace (NBSP...). One class,
+# used verbatim in the Column expressions, the Python tokenizer, AND the
+# generated SQL (RE2 \s), keeps fingerprints byte-identical on texts with
+# exotic whitespace.
+RE2_WS_CLASS = "[ \\t\\n\\f\\r]"
+_RE2_WS_RE = re.compile("[ \t\n\f\r]+")
+
+
+def re2_words(text: str) -> list[str]:
+    """Tokenize exactly like the DuckDB twin's
+    regexp_split_to_array(lower(trim(text)), '\\s+'): strip ASCII spaces
+    at the ends (SQL trim), lowercase, split on RE2 whitespace — KEEPING
+    the empty tokens a leading/trailing tab or newline produces, unlike
+    str.split()."""
+    return _RE2_WS_RE.split(text.lower().strip(" "))
+
 
 def whitespace_token_count(text: Column) -> Column:
     return F.when(F.trim(text) == "", F.lit(0)).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
+        F.size(F.split(F.trim(text), RE2_WS_CLASS + "+"))
     )
 
 
@@ -34,17 +54,18 @@ def bpe_ish_token_count(text: Column) -> Column:
 def normalized_fingerprint(text: Column) -> Column:
     """md5 of casefolded, whitespace-collapsed text — cheap near-exact
     dup key (survives reflow/case edits)."""
-    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), RE2_WS_CLASS + "+", " ")))
 
 
 def winnowing_fingerprints(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing document fingerprints (Schleimer et al. 2003): hash over
     word k-grams (first 15 hex chars of md5 — DuckDB-replicable), minimum
     per sliding window of full windows, deduplicated + sorted. The
-    standard near-dup/overlap sketch."""
+    standard near-dup/overlap sketch. Tokenization is re2_words — exactly
+    the generated SQL twin's, including leading-tab empty tokens."""
     import hashlib
 
-    words = text.lower().split()
+    words = re2_words(text)
     if len(words) < k:
         return []
     hs = np.array(

@@ -68,7 +68,12 @@ def word_shingles(
     sequence semantics), producing [0, -1] and an out-of-range
     ``element_at`` crash on any 1-2 word doc — common in real web data.
     """
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # explicit RE2 whitespace class: Java's \s additionally matches \x0B,
+    # which the DuckDB twin's RE2 \s does not — a vertical-tab doc would
+    # shingle differently on the two engines
+    from deidentify_spark.functions.text_stats import RE2_WS_CLASS
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
     grams = F.when(
         F.size(words) >= n,
         F.transform(
@@ -322,10 +327,15 @@ _QUAD_MASK = (1 << _QUAD_BITS) - 1
 
 def simhash_py(text: str) -> int:
     """60-bit SimHash over whitespace words (pure function; the UDF body
-    and the tests share it)."""
+    and the tests share it). Tokenization is re2_words — byte-identical
+    to the DuckDB oracle twin's regexp_split_to_array(lower(trim(text)),
+    '\\s+') including empty tokens at tab/newline edges (str.split()
+    silently diverged there)."""
     import hashlib
 
-    words = text.lower().split()
+    from deidentify_spark.functions.text_stats import re2_words
+
+    words = re2_words(text)
     if not words:
         return 0
     hs = np.array(
@@ -357,7 +367,9 @@ def simhash_batch(texts: list[str]) -> np.ndarray:
     """
     import hashlib
 
-    docs = [t.lower().split() for t in texts]
+    from deidentify_spark.functions.text_stats import re2_words
+
+    docs = [re2_words(t) for t in texts]
     lens = np.array([len(d) for d in docs], dtype=np.int64)
     if len(texts) == 0 or int(lens.sum()) == 0:
         return np.zeros(len(texts), dtype=np.int64)

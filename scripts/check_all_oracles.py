@@ -38,7 +38,14 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     names = sys.argv[1:] or list(e.queries())
-    oracles = e.oracle_sql()
+    # oracle_sql() eagerly renders every golden fixture; a single missing
+    # fixture must fail the affected queries, not abort the whole sweep
+    try:
+        oracles = e.oracle_sql()
+        oracle_err = None
+    except Exception as ex:  # noqa: BLE001
+        oracles, oracle_err = {}, ex
+        print(f"WARNING: oracle_sql() failed ({ex}); all queries run rows-only")
     failed = []
     for name in names:
         try:
