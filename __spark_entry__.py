@@ -411,10 +411,19 @@ def minhash_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from deidentify_spark.operators.dedup import embedding_near_dup_pairs
+    """EXACT cosine pairs >= 0.45 via the blocked-GEMM grid operator —
+    same semantics as the textbook a.id < b.id join (which remains the
+    test oracle in tests/test_operators.py), but the plan is
+    explode -> one grid-key shuffle -> one numpy gemm per cell: no
+    CartesianProduct / BroadcastNestedLoopJoin node (pinned in
+    tests/test_plans.py). Small n_blocks here exercises a multi-cell
+    grid at test scale."""
+    from deidentify_spark.operators.dedup import embedding_near_dup_pairs_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs_blocked(
+        emb, threshold=0.45, rows_per_block=512
+    ).orderBy("id_a", "id_b")
 
 
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -433,6 +442,36 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs_lsh(
         emb, threshold=0.9, dim=64, n_planes=64, bands=8
     ).orderBy("id_a", "id_b")
+
+
+def dedup_cap_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-audit side table for the dedup guards: what did
+    max_bucket_size / max_doc_freq silently discard? One row per guard
+    with the dropped group / membership / pair counts — at 100 TB these
+    caps WILL fire (boilerplate signatures, stop-shingles), and an
+    operator must be able to see the discarded volume instead of
+    trusting silence. Tight audit caps (2 / 3) are used here so the
+    guards actually trigger on the test corpus (production caps 1000 /
+    100 drop nothing at this scale — probed, max bucket=3, max df=7)."""
+    from deidentify_spark.operators.dedup import (
+        minhash_lsh_dropped_buckets,
+        ngram_jaccard_dropped_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mh = minhash_lsh_dropped_buckets(docs, max_bucket_size=2).select(
+        F.lit("minhash_bucket_cap_2").alias("guard"),
+        F.col("n_buckets_dropped").alias("n_groups_dropped"),
+        "n_memberships_dropped",
+        "n_pairs_dropped",
+    )
+    jc = ngram_jaccard_dropped_shingles(docs, max_doc_freq=3).select(
+        F.lit("jaccard_doc_freq_cap_3").alias("guard"),
+        F.col("n_shingles_dropped").alias("n_groups_dropped"),
+        "n_memberships_dropped",
+        "n_pairs_dropped",
+    )
+    return mh.unionByName(jc).orderBy("guard")
 
 
 def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
+        "dedup_cap_lineage": dedup_cap_lineage,
         "token_counts_documents": token_counts_documents,
         "sessionization_events": sessionization_events,
         "sliding_window_events": sliding_window_events,
@@ -1105,6 +1145,54 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """,
+        "dedup_cap_lineage": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), mh AS (
+                SELECT doc_id,
+                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
+                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
+                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
+                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
+                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
+                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
+                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
+                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
+                UNION ALL SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
+                UNION ALL SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
+                UNION ALL SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            ), hot_buckets AS (
+                SELECT COUNT(*) AS m FROM bands GROUP BY band, sig
+                HAVING COUNT(*) > 2
+            ), hot_shingles AS (
+                SELECT COUNT(*) AS df FROM sh GROUP BY shingle
+                HAVING COUNT(*) > 3
+            )
+            SELECT 'jaccard_doc_freq_cap_3' AS guard,
+                   COUNT(*) AS n_groups_dropped,
+                   CAST(COALESCE(SUM(df), 0) AS BIGINT)
+                       AS n_memberships_dropped,
+                   CAST(COALESCE(SUM(df * (df - 1) / 2), 0) AS BIGINT)
+                       AS n_pairs_dropped
+            FROM hot_shingles
+            UNION ALL
+            SELECT 'minhash_bucket_cap_2',
+                   COUNT(*),
+                   CAST(COALESCE(SUM(m), 0) AS BIGINT),
+                   CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT)
+            FROM hot_buckets
+            ORDER BY guard
+        """,
         "embedding_near_dups": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
@@ -1192,7 +1280,10 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE doc_id >= 250
             )
             SELECT source, COUNT(*) AS n_docs, COUNT(doc_id) AS n_with_id,
-                   SUM(n_chars) AS sum_chars
+                   -- DuckDB SUM(INTEGER) -> HUGEINT -> pandas float64;
+                   -- Spark sums int to BIGINT. Cast so both hash as int64
+                   -- (same class as the salted-agg fix, tabular.py:229).
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
             FROM both_halves GROUP BY source ORDER BY source
         """,
         "grouping_sets_orders": """

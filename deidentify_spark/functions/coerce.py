@@ -7,9 +7,16 @@ maps to. Python's ``str()`` disagrees with Go on exactly two types:
 
 * bool: Python ``'True'`` vs Go ``'true'``;
 * float: Go uses ``strconv.FormatFloat(f, 'g', -1, 64)`` — the shortest
-  round-trip decimal, fixed notation for exponents in [-4, 21), no
-  trailing ``.0`` on integral values (``100000.0`` -> ``"100000"``),
-  two-digit ``e±XX`` scientific outside that range.
+  round-trip decimal, fixed notation for decimal exponents in [-4, 6),
+  no trailing ``.0`` on integral values (``100000.0`` -> ``"100000"``),
+  two-digit ``e±XX`` scientific outside that range (``1e6`` ->
+  ``"1e+06"``, ``1e20`` -> ``"1e+20"``). The upper bound is 6, not the
+  ES6/encoding-json 21: Go's ftoa.go shortest-'g' branch sets
+  ``eprec = 6`` ("use precision 6 for this decision"), which is why
+  ``fmt.Println(1e6)`` prints ``1e+06`` and JSON-decoded float64
+  timestamps print as ``1.454954400139e+12``. (No Go toolchain in this
+  sandbox — verified against documented strconv semantics and the
+  ftoa.go source; re-verify with fmt.Sprintf("%v") if one appears.)
 
 Both the scalar oracle (`Deidentifier.table`) and the Spark path
 (`deidentify_table`) route non-string cells through these helpers so the
@@ -52,7 +59,8 @@ def go_format_float(f: float, bits: int = 64) -> str:
         e = len(ip) - 1 - lead_zeros
         digs = all_digs
     digs = digs.rstrip("0") or "0"
-    if -4 <= e < 21:
+    # Go ftoa.go 'g'-shortest: %e when exp < -4 or exp >= 6 (eprec=6).
+    if -4 <= e < 6:
         if e >= len(digs) - 1:
             out = digs + "0" * (e - (len(digs) - 1))
         elif e >= 0:

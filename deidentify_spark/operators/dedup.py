@@ -161,6 +161,22 @@ def minhash_lsh_candidates(
     corpora. The registered driver query caps at 1000 with the identical
     QUALIFY filter in its DuckDB oracle.
     """
+    grouped = _minhash_buckets(df, n, k, bands, text_col, id_col)
+    if max_bucket_size is not None:
+        grouped = grouped.where(F.size("ds") <= max_bucket_size)
+    return _emit_bucket_pairs(grouped, "ds", "x as doc_a, y as doc_b").distinct()
+
+
+def _minhash_buckets(
+    df: DataFrame,
+    n: int,
+    k: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(band, sig, ds) bucket table shared by the candidate emitter and
+    the cap-lineage aggregate — ds is the sorted member-id array."""
     rows = k // bands
     # distinct=False: min() is duplicate-insensitive, and skipping the
     # distinct removes a full shuffle of shingle strings (identical
@@ -177,12 +193,38 @@ def minhash_lsh_candidates(
     banded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    grouped = banded.groupBy("band", "sig").agg(
+    return banded.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list(id_col)).alias("ds")
     )
-    if max_bucket_size is not None:
-        grouped = grouped.where(F.size("ds") <= max_bucket_size)
-    return _emit_bucket_pairs(grouped, "ds", "x as doc_a, y as doc_b").distinct()
+
+
+def minhash_lsh_dropped_buckets(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 10000,
+) -> DataFrame:
+    """Cap-lineage twin of minhash_lsh_candidates: what did the
+    max_bucket_size guard silently discard? One row:
+    (n_buckets_dropped, n_memberships_dropped, n_pairs_dropped) — the
+    second aggregate over the >cap groups a 100-TB operator needs to see
+    (no silent truncation). Same upstream as the candidate emitter; at
+    scale run both off one cached/checkpointed bucket table.
+    """
+    dropped = _minhash_buckets(df, n, k, bands, text_col, id_col).where(
+        F.size("ds") > max_bucket_size
+    )
+    m = F.size("ds").cast("bigint")
+    return dropped.agg(
+        F.count(F.lit(1)).alias("n_buckets_dropped"),
+        F.coalesce(F.sum(m), F.lit(0)).alias("n_memberships_dropped"),
+        F.coalesce(F.sum(m * (m - 1) / 2), F.lit(0.0))
+        .cast("bigint")
+        .alias("n_pairs_dropped"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -234,7 +276,20 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
-    sh = word_shingles(df, n, text_col, id_col)
+    # Shingle IDENTITY rides as xxhash64(shingle), not the string: the
+    # distinct, the doc-frequency window/groupBy, and the pair-emission
+    # groupBy all shuffle 8-byte longs instead of ~n-word strings (the
+    # strings appear in no output column). A 64-bit collision would merge
+    # two shingles' doc lists — p ≈ s^2/2^65 (~3e-9 at 10^9 distinct
+    # shingles), negligible next to minhash's own banding error; the
+    # DuckDB oracle twin keeps grouping by the exact string, and stays
+    # green because no collision occurs at test scale (or realistically
+    # any scale).
+    sh = (
+        word_shingles(df, n, text_col, id_col, distinct=False)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     if max_doc_freq is not None:
         if cap_strategy == "window":
             w = Window.partitionBy("shingle")
@@ -312,6 +367,39 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_dropped_shingles(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """Cap-lineage twin of ngram_jaccard_pairs: what did the
+    max_doc_freq stop-shingle guard discard? One row:
+    (n_shingles_dropped, n_memberships_dropped) over the >cap shingles —
+    surfaced so a 100-TB run can audit the guard instead of silently
+    losing signal. Distinct (doc, shingle) memberships, same identity
+    (xxhash64) and whitespace semantics as the pair miner."""
+    sh = (
+        word_shingles(df, n, text_col, id_col, distinct=False)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+    )
+    d = F.col("_df").cast("bigint")
+    return hot.agg(
+        F.count(F.lit(1)).alias("n_shingles_dropped"),
+        F.coalesce(F.sum(d), F.lit(0)).alias("n_memberships_dropped"),
+        F.coalesce(F.sum(d * (d - 1) / 2), F.lit(0.0))
+        .cast("bigint")
+        .alias("n_pairs_dropped"),
     )
 
 
@@ -660,12 +748,124 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    raw = dot / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+            raw.alias("_raw"),
         )
-        .where(F.col("cosine") >= threshold)
+        # threshold on the RAW cosine (matches the DuckDB oracle's WHERE
+        # before its SELECT-list ROUND), then round for display
+        .where(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 4).alias("cosine"))
+    )
+
+
+def embedding_near_dup_pairs_blocked(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rows_per_block: int = 2048,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """EXACT cosine pairs (id_a < id_b) via a blocked-GEMM grid — the
+    distributed form of the textbook all-pairs join.
+
+    Exact threshold similarity join is inherently O(n^2) dot products;
+    what a plan can control is HOW those products are computed and
+    placed. The textbook ``a.join(b, a.id < b.id)`` is a
+    BroadcastNestedLoopJoin: one row-at-a-time quadratic task stream
+    with per-pair expression evaluation. This operator instead:
+
+    * assigns each vector to one of B hash blocks
+      (pmod(xxhash64(id), B)), B ≈ ceil(n / rows_per_block);
+    * explodes each vector to its B block-PAIR memberships
+      (min(blk,other), max(blk,other)) — every unordered vector pair
+      lands in exactly one of the B(B+1)/2 grid cells;
+    * one shuffle on the grid key, then ONE vectorized numpy gemm per
+      cell (normalize once, S = X @ Y.T in float64, emit S >= threshold).
+
+    Plan: Scan -> Project(explode) -> Exchange(grid key) ->
+    FlatMapGroupsInPandas. No CartesianProduct / BroadcastNestedLoopJoin
+    node (pinned in tests/test_plans.py). Work per cell is uniform
+    (~rows_per_block^2 products, BLAS-batched); memory per task is two
+    blocks of vectors. Shuffle volume is n*B vector copies — the
+    standard replication cost of a similarity-join grid; it is the
+    EXACT operator's scale ceiling (~10^7 vectors is a big-but-runnable
+    cluster job at 10^14 products), beyond which the sign-LSH twin
+    (embedding_near_dup_pairs_lsh) is the product path.
+
+    Emits the same columns/semantics as embedding_near_dup_pairs:
+    threshold on raw float64 cosine, cosine rounded to 4dp.
+    """
+    import math
+
+    if n_blocks is None:
+        n_rows = emb.count()
+        n_blocks = max(1, math.ceil(n_rows / rows_per_block))
+    B = n_blocks
+    base = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    mem = base.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.explode(F.sequence(F.lit(0), F.lit(B - 1))).alias("_other"),
+    ).select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_other").alias("_bi"),
+        F.greatest("_blk", "_other").alias("_bj"),
+    )
+
+    thr = float(threshold)
+
+    def gemm_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+        if pdf.empty:
+            return empty
+        bi, bj = int(pdf["_bi"].iloc[0]), int(pdf["_bj"].iloc[0])
+        mat = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1)
+        zero = nrm == 0.0
+        nrm[zero] = 1.0
+        mat /= nrm[:, None]
+        # zero vector: cosine undefined -> NaN, never passes >= thr
+        # (matches the textbook form, where 0/0 is SQL NULL)
+        mat[zero] = np.nan
+        ids = pdf["_id"].to_numpy()
+        if bi == bj:  # diagonal cell: pairs within one block
+            sim = mat @ mat.T
+            ia, ib = np.nonzero(np.triu(sim >= thr, k=1))
+        else:
+            xm = pdf["_blk"].to_numpy() == bi
+            x_ids, y_ids = ids[xm], ids[~xm]
+            if len(x_ids) == 0 or len(y_ids) == 0:
+                return empty
+            sim = mat[xm] @ mat[~xm].T
+            ia, ib = np.nonzero(sim >= thr)
+            ids = None
+        if bi == bj:
+            a, b = ids[ia], ids[ib]
+        else:
+            a, b = x_ids[ia], y_ids[ib]
+        cos = sim[ia, ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    out = mem.groupBy("_bi", "_bj").applyInPandas(
+        gemm_cell, schema=f"id_a long, id_b long, cosine double"
+    )
+    return out.where(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )

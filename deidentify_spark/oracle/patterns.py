@@ -58,14 +58,14 @@ _ADDRESS_WORDS = (
     "Rue|Strasse|Calle|Via|Viale|Avenida|Carrer|Straat|Gasse|Weg|"
     "Camino|Ulica|Utca|Prospekt|Dori|Jalan|Marg|Dao|Jie|Lu"
 )
-# 'Straße' gets its own branch: RE2's \b is ASCII, and 'ß' is NOT a word
-# char there — so Go's trailing \b after 'Straße' holds only when a word
-# char FOLLOWS (it matches inside 'Straßenbahn', never standalone
-# 'Straße '). The uniform (?![0-9A-Za-z_]) transcription would invert
-# that. Replicate the code, not the intent (SURVEY §0.2 spirit).
-ADDRESS_WORD_PATTERN = (
-    rf"(?i){_WB_L}(?:({_ADDRESS_WORDS}){_WB_R}|Straße(?=[0-9A-Za-z_]))"
-)
+# 'Straße' sits in the plain alternation with the uniform boundaries:
+# it BEGINS with 'S' and ENDS with 'e' — both ASCII word chars — so
+# RE2's ASCII \b on either side behaves exactly like the
+# (?<![0-9A-Za-z_]) / (?![0-9A-Za-z_]) transcription (standalone
+# 'Marien Straße' matches; 'Straßenbahn' does not, since 'n' follows).
+# The interior 'ß' never touches a \b position, so its non-word status
+# in RE2 is irrelevant here (patterns.go:25).
+ADDRESS_WORD_PATTERN = rf"(?i){_WB_L}({_ADDRESS_WORDS}|Straße){_WB_R}"
 
 INTERNATIONAL_ADDRESS_PATTERN = (
     "(?i)(street|avenue|road|lane|drive|boulevard|blvd|way|plaza|square|court|"

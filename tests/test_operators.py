@@ -461,3 +461,61 @@ def test_pair_emitters_skip_self_pairs_and_empty_input(spark):
     out = embedding_near_dup_pairs_lsh(empty, threshold=0.9)
     assert out.count() == 0
     assert out.columns == ["id_a", "id_b", "cosine"]
+
+
+def test_blocked_gemm_matches_textbook_exact(embeddings, spark):
+    """embedding_near_dup_pairs_blocked is EXACT: identical pair set and
+    4dp cosines to the textbook a.id < b.id join, across a multi-cell
+    grid (rows_per_block small enough to force several blocks), and on
+    inputs with zero vectors."""
+    from deidentify_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_blocked,
+    )
+
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(embeddings, threshold=0.9).collect()
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs_blocked(
+            embeddings, threshold=0.9, rows_per_block=7
+        ).collect()
+    }
+    assert got == want and len(want) >= 30
+
+    with_zero = embeddings.unionByName(
+        spark.createDataFrame(
+            [(999, [0.0] * 16)], "vec_id long, embedding array<float>"
+        )
+    )
+    z = embedding_near_dup_pairs_blocked(with_zero, threshold=0.0, n_blocks=3)
+    assert z.where("id_a = 999 or id_b = 999").count() == 0
+
+
+def test_dedup_cap_lineage_counts(spark):
+    """The cap-audit aggregates report exactly what the guards drop: a
+    crafted corpus where one shingle appears in 5 docs and one LSH
+    bucket holds 5 exact-ish near-dups."""
+    from deidentify_spark.operators.dedup import (
+        minhash_lsh_dropped_buckets,
+        ngram_jaccard_dropped_shingles,
+    )
+
+    txt = " ".join(GEN_SENTENCES["en"][:6])
+    rows = [(i, txt + f" unique tail {i}") for i in range(5)]
+    rows += [(10 + i, f"totally different filler text number {i} ok") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    jc = ngram_jaccard_dropped_shingles(df, max_doc_freq=4).head()
+    # every shingle of the shared prefix appears in all 5 docs (> 4)
+    assert jc.n_shingles_dropped > 0
+    assert jc.n_memberships_dropped == 5 * jc.n_shingles_dropped
+    assert jc.n_pairs_dropped == 10 * jc.n_shingles_dropped  # C(5,2) each
+
+    mh = minhash_lsh_dropped_buckets(df, max_bucket_size=4).head()
+    assert mh.n_buckets_dropped >= 1  # the 5-doc near-dup family buckets
+    assert mh.n_pairs_dropped >= 10
+    none = minhash_lsh_dropped_buckets(df, max_bucket_size=1000).head()
+    assert (none.n_buckets_dropped, none.n_pairs_dropped) == (0, 0)

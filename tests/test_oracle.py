@@ -446,13 +446,14 @@ def test_golden_scrub_outputs_frozen(d, corpus):
 
 
 def test_address_word_strasse_matches_re2_boundary():
-    """RE2's ASCII \\b after 'Straße' (ends in non-word 'ß') holds only
-    when a WORD char follows — Go never matches standalone 'Straße', but
-    does match it inside 'Straßenbahn'. The transcription must replicate
-    the code, not the intent."""
+    """'Straße' begins with 'S' and ends with 'e' — both ASCII word chars
+    — so RE2's ASCII \\b on either side of the alternation behaves
+    normally: standalone 'Marien Straße' matches (trailing space is a
+    non-word char) and 'Straßenbahn' does NOT (the 'n' after the matched
+    'e' fails the trailing \\b). patterns.go:25."""
     from deidentify_spark.oracle import patterns as P
 
-    assert P.ADDRESS_WORD_RE.search("Marien Straße") is None
-    assert P.ADDRESS_WORD_RE.search("die Straßenbahn hier") is not None
+    assert P.ADDRESS_WORD_RE.search("Marien Straße") is not None
+    assert P.ADDRESS_WORD_RE.search("die Straßenbahn hier") is None
     assert P.ADDRESS_WORD_RE.search("Main Street") is not None
     assert P.ADDRESS_WORD_RE.search("Strasse") is not None  # ASCII form

@@ -185,3 +185,43 @@ def test_minhash_and_simhash_plans_join_free(spark):
         assert j not in plan, j
     assert plan.count("documents.parquet") == 1
     assert plan.count("ArrowEvalPython") == 1  # signature UDF runs once
+
+
+def test_embedding_near_dups_plan_no_cartesian(spark):
+    """The registered exact embedding query runs on the blocked-GEMM
+    grid: NO CartesianProduct / BroadcastNestedLoopJoin — in fact no
+    join operator at all (explode -> one grid-key exchange -> one
+    FlatMapGroupsInPandas)."""
+    df = entry_mod.embedding_near_dups(spark, SF)
+    df.count()
+    plan = _plan(df)
+    for join in ("CartesianProduct", "BroadcastNestedLoopJoin",
+                 "SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join not in plan, join
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count("embeddings.parquet") <= 2  # count() + grid scan
+
+
+def test_jaccard_chain_shuffles_hashes_not_strings(spark):
+    """The capped Jaccard chain's shuffled columns are 8-byte xxhash64
+    longs — the shingle STRING must not appear past the first project
+    (it is in no output column)."""
+    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_doc_freq=100)
+    df.count()
+    plan = _plan(df)
+    assert "xxhash64" in plan
+    # every exchange keyed on "shingle" carries the LONG (#nL attr, the
+    # xxhash64 alias), never the string column
+    import re
+
+    keyed = [
+        m
+        for m in re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        if "shingle" in m
+    ]
+    assert keyed, plan[:2000]
+    for m in keyed:
+        assert re.search(r"shingle#\d+L", m), m

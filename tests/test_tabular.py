@@ -142,8 +142,11 @@ def test_tabular_fixture_files(spark):
 
 
 def test_go_format_float_parity():
-    """Go strconv.FormatFloat(f,'g',-1,64) forms (expected strings are
-    Go's actual output for these inputs)."""
+    """Go strconv.FormatFloat(f,'g',-1,64) forms. The shortest-'g'
+    scientific switch is exp < -4 or exp >= 6 (ftoa.go eprec=6), so
+    1e6 -> '1e+06' and 1e20 -> '1e+20' (NOT the ES6/json [-4,21)
+    window). No Go toolchain in-sandbox; derived from strconv source
+    semantics — re-pin against fmt.Sprintf("%v") if one appears."""
     from deidentify_spark.functions.coerce import go_format_float, go_format_value
 
     cases = {
@@ -153,7 +156,10 @@ def test_go_format_float_parity():
         0.0: "0",
         1e21: "1e+21",
         1.5e21: "1.5e+21",
-        1e20: "100000000000000000000",
+        1e20: "1e+20",
+        2e20: "2e+20",
+        1e6: "1e+06",
+        1048576.0: "1.048576e+06",
         0.0001: "0.0001",
         0.00001: "1e-05",
         -0.25: "-0.25",
