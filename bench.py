@@ -68,10 +68,10 @@ BENCH_QUERIES = [
 ]
 
 
-def _session(cores: int):
+def _session(cores: int, ui_port: int | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(f"bench-{cores}")
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
@@ -81,8 +81,31 @@ def _session(cores: int):
         # any enlarged local heap measures dramatically slower end-to-end
         # (8g ~2x, 24g ~4x; THP/GC page-fault pathology). The JVM only
         # shuffles small Arrow batches; python workers hold the real data.
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    )
+    if ui_port is not None:
+        # UI on ONLY for the per-query session: its REST endpoint is how
+        # shuffle read/write bytes are harvested per query (machine-checked
+        # numbers, not asserted ones). Pipeline legs keep it off.
+        b = (
+            b.config("spark.ui.enabled", "true")
+            .config("spark.ui.port", str(ui_port))
+            .config("spark.ui.retainedStages", "5000")
+        )
+    else:
+        b = b.config("spark.ui.enabled", "false")
+    return b.getOrCreate()
+
+
+def _shuffle_totals(app_id: str, port: int) -> tuple[int, int]:
+    """Cumulative (shuffle_read_bytes, shuffle_write_bytes) across all
+    stages so far, via the UI REST API; per-query numbers are deltas."""
+    import urllib.request
+
+    url = f"http://localhost:{port}/api/v1/applications/{app_id}/stages"
+    stages = json.load(urllib.request.urlopen(url, timeout=10))
+    return (
+        sum(s.get("shuffleReadBytes", 0) for s in stages),
+        sum(s.get("shuffleWriteBytes", 0) for s in stages),
     )
 
 
@@ -190,9 +213,12 @@ def main() -> None:
 
     import __spark_entry__ as entry_mod
 
+    ui_port = int(os.environ.get("SPARK_GRAFT_BENCH_UI_PORT", "4057"))
     queries = entry_mod.queries()
-    spark = _session(CPUS)
+    spark = _session(CPUS, ui_port=ui_port)
+    app_id = spark.sparkContext.applicationId
     q_times: dict[str, float] = {}
+    q_shuffle: dict[str, dict[str, int]] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         # min of two runs: the first pays JVM codegen + parquet footer
@@ -201,11 +227,21 @@ def main() -> None:
         # Materialize with a noop WRITE, never count(): Catalyst prunes
         # everything count() doesn't need — a count() of scrub_documents
         # measured a bare parquet scan with the scrub UDF optimized away.
-        for _ in range(2):
+        for run in range(2):
+            if run == 1:
+                before = _shuffle_totals(app_id, ui_port)
             t0 = time.time()
             fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
             dt = time.time() - t0
             q_times[name] = min(q_times.get(name, float("inf")), round(dt, 3))
+            if run == 1:
+                # bytes from the steady-state run (deterministic per plan,
+                # unlike wall time — no min-of-2 needed)
+                after = _shuffle_totals(app_id, ui_port)
+                q_shuffle[name] = {
+                    "shuffle_read": after[0] - before[0],
+                    "shuffle_write": after[1] - before[1],
+                }
     spark.stop()
 
     # Scaling legs in fresh subprocesses (clean JVM per parallelism level),
@@ -270,6 +306,7 @@ def main() -> None:
         "value": round(thr_hi, 1),
         "unit": "docs/sec",
         "queries": q_times,
+        "shuffle_bytes": q_shuffle,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "pipeline": {
             "n_docs": PIPELINE_DOCS,

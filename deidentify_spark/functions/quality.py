@@ -8,8 +8,9 @@ by the build contract / BASELINE.json north_rule).
 Everything except the n-gram repetition ratio is a pure
 ``pyspark.sql.functions`` column expression (JVM-side, whole-stage
 codegen'd, no Python). The repetition ratio needs n-gram frequency
-counting and lives in a masked Arrow pandas UDF (see
-:func:`top_ngram_frac_udf`).
+counting and is computed inline by the fused Arrow stage
+(functions/fused.py:top_2gram_frac), which also gates it behind the
+cheaper rules so rejected docs never pay for it.
 
 Rule evaluation order is fixed and load-bearing: ``drop_reason`` is the
 FIRST failing rule, and the synthetic generator (sources/pages.py) crafts
@@ -20,10 +21,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 
 @dataclass(frozen=True)
@@ -164,32 +163,6 @@ def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
         # the Column path too, not just the Python twin
         "has_policy": has_banned,
     }
-
-
-def top_ngram_frac_udf():
-    """Masked Arrow pandas UDF: fraction of word 2-grams taken by the most
-    common 2-gram. Computed only where ``mask`` is true (dropped rows get
-    NaN), keeping the expensive Python work off already-rejected docs
-    while preserving a single-pass plan."""
-
-    @F.pandas_udf(DoubleType())
-    def top_2gram_frac(text: pd.Series, mask: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = pd.Series(np.nan, index=text.index, dtype="float64")
-        todo = mask.fillna(False).astype(bool) & text.notna()
-        for i in text.index[todo]:
-            words = text[i].lower().split()
-            if len(words) < 2:
-                out[i] = 0.0
-                continue
-            from collections import Counter
-
-            grams = Counter(zip(words, words[1:]))
-            out[i] = max(grams.values()) / (len(words) - 1)
-        return out
-
-    return top_2gram_frac
 
 
 def quality_pre_reason_py(text: str, cfg: QualityConfig) -> str | None:

@@ -1,0 +1,71 @@
+"""LangID accuracy on text the generator family never produced.
+
+The F1=1.000 reported against sources/pages.py labels is a closed loop
+(the classifier's training pools and the test corpus come from the same
+authored families). This fixture (fixtures/langid_stress.json) was
+hand-written in DIFFERENT domains/registers (recipes, support tickets,
+sports reports, reviews, legal boilerplate, weather bulletins) with
+labels fixed by hand at authoring time — an out-of-distribution check.
+
+Measured at round 3 (frozen expectations, see BASELINE.md "LangID on
+out-of-generator text"): clean 53/54 (0.981) — one es->fr miss on legal
+boilerplate; hard 8/10 — es->fr on code-mixed Spanish and de->nl on a
+7-word sentence. The gates below leave one-miss headroom so an
+unrelated change doesn't flake, but a real regression fails fast.
+"""
+
+import json
+from pathlib import Path
+
+FIXTURES = Path(__file__).resolve().parent.parent / "fixtures"
+
+
+def _score(split: str):
+    from deidentify_spark.functions.langid import predict_batch
+
+    cases = json.loads((FIXTURES / "langid_stress.json").read_text())[split]
+    preds, confs = predict_batch([c["text"] for c in cases])
+    misses = [
+        (c["lang"], p, c["text"][:50])
+        for p, c in zip(preds, cases)
+        if p != c["lang"]
+    ]
+    return len(cases) - len(misses), len(cases), misses
+
+
+def test_langid_clean_out_of_generator_accuracy():
+    ok, n, misses = _score("clean")
+    assert ok / n >= 0.95, misses
+
+
+def test_langid_hard_cases_accuracy():
+    """Code-mixed, very short, and close-pair (es/pt, nl/de) texts: the
+    centroid model legitimately struggles here; gate at 0.7 and keep the
+    specific confusions documented in BASELINE.md."""
+    ok, n, misses = _score("hard")
+    assert ok / n >= 0.7, misses
+
+
+def test_langid_fixture_is_not_in_training_pools():
+    """The stress fixture must stay disjoint from every training /
+    generator pool, or the check silently re-closes the loop."""
+    import deidentify_spark.sources.textpools as tp
+
+    pool_blobs = []
+    for name in dir(tp):
+        v = getattr(tp, name)
+        if isinstance(v, dict):
+            pool_blobs += [x for x in v.values() if isinstance(x, str)]
+            for vv in v.values():
+                if isinstance(vv, (list, tuple)):
+                    pool_blobs += [x for x in vv if isinstance(x, str)]
+        elif isinstance(v, (list, tuple)):
+            pool_blobs += [x for x in v if isinstance(x, str)]
+    blob = "\n".join(pool_blobs).lower()
+    fx = json.loads((FIXTURES / "langid_stress.json").read_text())
+    for c in fx["clean"] + fx["hard"]:
+        # any 40-char window of a fixture text appearing verbatim in a
+        # pool means overlap
+        t = c["text"].lower()
+        probe = t[: min(40, len(t))]
+        assert probe not in blob, c["text"][:60]
