@@ -42,6 +42,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w, id_col, "left_semi")
 
 
+def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Give heavy per-row compute (shingle explode, K md5 minhashes,
+    signature UDFs) enough tasks to use the cluster: a small parquet
+    input arrives as ONE scan partition (maxPartitionBytes), and the
+    map-side work of the first stage then serializes on a single core —
+    measured 10.8 s of an 11 s minhash run at sf0.1. Repartition to the
+    session's default parallelism ONLY when the input is coarser; a real
+    100-TB scan already has thousands of partitions and this is a no-op
+    (no shuffle added)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 def _hash60(col: Column) -> Column:
     """First 15 hex chars of md5 as a bigint (60 bits, DuckDB-replicable:
     conv(substring(md5(x),1,15),16,10))."""
@@ -182,7 +198,9 @@ def _minhash_buckets(
     # distinct removes a full shuffle of shingle strings (identical
     # output, measured ~20% faster at sf0.1)
     sigs = minhash_signatures(
-        word_shingles(df, n, text_col, id_col, distinct=False), k, id_col
+        word_shingles(_fan_out(df, id_col), n, text_col, id_col, distinct=False),
+        k,
+        id_col,
     )
     band_cols = []
     for b in range(bands):
@@ -286,7 +304,7 @@ def ngram_jaccard_pairs(
     # green because no collision occurs at test scale (or realistically
     # any scale).
     sh = (
-        word_shingles(df, n, text_col, id_col, distinct=False)
+        word_shingles(_fan_out(df, id_col), n, text_col, id_col, distinct=False)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
@@ -384,7 +402,7 @@ def ngram_jaccard_dropped_shingles(
     losing signal. Distinct (doc, shingle) memberships, same identity
     (xxhash64) and whitespace semantics as the pair miner."""
     sh = (
-        word_shingles(df, n, text_col, id_col, distinct=False)
+        word_shingles(_fan_out(df, id_col), n, text_col, id_col, distinct=False)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
@@ -571,7 +589,9 @@ def _simhash_quad_groups(
     """(quad, val) buckets with the sorted (doc_id, sig) members — the
     shared first half of the simhash operators. The signature UDF is
     evaluated ONCE; the quadrant table is grouped, never self-joined."""
-    sig = df.select(F.col(id_col), simhash_udf()(F.col(text_col)).alias("sig"))
+    sig = _fan_out(df, id_col).select(
+        F.col(id_col), simhash_udf()(F.col(text_col)).alias("sig")
+    )
     quads = sig.select(
         id_col,
         "sig",
