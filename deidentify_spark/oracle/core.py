@@ -41,6 +41,51 @@ TYPE_GENERIC = "generic"
 
 _DIGIT_RE = _regex.compile(r"[0-9]")
 
+# Anchored-scan plumbing (perf-only, behavior-identical): the address and
+# phone patterns can only START at a small first-character set, but their
+# leading lookbehind/optional groups defeat the regex module's literal
+# prefix scanner, so `.sub()` pays a full per-position scan (~0.3-0.5 ms
+# per KB of text). Enumerating candidate start positions with a stdlib-re
+# C scan and attempting an anchored `.match()` at each is equivalent:
+#   * digit-anchored patterns (SPECIAL_ADDRESS_1/2, ADDRESS): every match
+#     starts with `(?<![0-9])[0-9]`, i.e. at the first digit of a digit
+#     run, and no match ends inside a digit run (every digit-consuming
+#     token is followed by a mandatory non-digit) — so digit-run starts
+#     are a complete candidate set;
+#   * PHONE: the first consumed character is one of [+(0-9] (the optional
+#     `\+[0-9]{1,2}` prefix, the optional `\(`, or the first area digit).
+# Leftmost/non-overlapping `.sub()` semantics are preserved by visiting
+# candidates in order and skipping those inside the previous match.
+# Equivalence is pinned by tests/test_oracle.py::test_anchored_sub_parity.
+import re as _stdre
+
+_DIGIT_RUN_RE = _stdre.compile(r"[0-9]+")
+_PHONE_START_RE = _stdre.compile(r"[+(0-9]")
+
+
+def _sub_anchored(candidates_re, pat, repl, text: str) -> str:
+    """Equivalent of ``pat.sub(repl, text)`` for patterns whose every
+    match starts at a position yielded by ``candidates_re.finditer``."""
+    out = None
+    last = 0
+    end = 0
+    for cand in candidates_re.finditer(text):
+        i = cand.start()
+        if i < end:
+            continue
+        m = pat.match(text, i)
+        if m is None:
+            continue
+        if out is None:
+            out = []
+        out.append(text[last:i])
+        out.append(repl(m))
+        last = end = m.end()
+    if out is None:
+        return text
+    out.append(text[last:])
+    return "".join(out)
+
 ALL_TYPES = (
     TYPE_NAME,
     TYPE_EMAIL,
@@ -268,8 +313,11 @@ class Deidentifier:
         )
 
     def _process_phones(self, text: str) -> str:
-        return P.PHONE_RE.sub(
-            lambda m: self.deidentify_value(m.group(0), TYPE_PHONE, "phone"), text
+        return _sub_anchored(
+            _PHONE_START_RE,
+            P.PHONE_RE,
+            lambda m: self.deidentify_value(m.group(0), TYPE_PHONE, "phone"),
+            text,
         )
 
     def _process_ssns(self, text: str, original_text: str) -> str:
@@ -315,11 +363,17 @@ class Deidentifier:
 
     def _process_special_addresses(self, text: str) -> str:
         """Three international patterns in order (deidentify.go:740-745)."""
-        text = P.SPECIAL_ADDRESS_1_RE.sub(
-            lambda m: self.deidentify_value(m.group(0), TYPE_ADDRESS, "address"), text
+        text = _sub_anchored(
+            _DIGIT_RUN_RE,
+            P.SPECIAL_ADDRESS_1_RE,
+            lambda m: self.deidentify_value(m.group(0), TYPE_ADDRESS, "address"),
+            text,
         )
-        text = P.SPECIAL_ADDRESS_2_RE.sub(
-            lambda m: self.deidentify_value(m.group(0), TYPE_ADDRESS, "address"), text
+        text = _sub_anchored(
+            _DIGIT_RUN_RE,
+            P.SPECIAL_ADDRESS_2_RE,
+            lambda m: self.deidentify_value(m.group(0), TYPE_ADDRESS, "address"),
+            text,
         )
 
         def repl3(m):
@@ -353,8 +407,11 @@ class Deidentifier:
         return P.NAME_RE.sub(repl, text)
 
     def _process_standard_addresses(self, text: str) -> str:
-        return P.ADDRESS_RE.sub(
-            lambda m: self.deidentify_value(m.group(0), TYPE_ADDRESS, "address"), text
+        return _sub_anchored(
+            _DIGIT_RUN_RE,
+            P.ADDRESS_RE,
+            lambda m: self.deidentify_value(m.group(0), TYPE_ADDRESS, "address"),
+            text,
         )
 
     # --- tabular APIs (deidentify.go:171-215) ----------------------------

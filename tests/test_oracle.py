@@ -457,3 +457,48 @@ def test_address_word_strasse_matches_re2_boundary():
     assert P.ADDRESS_WORD_RE.search("die Straßenbahn hier") is None
     assert P.ADDRESS_WORD_RE.search("Main Street") is not None
     assert P.ADDRESS_WORD_RE.search("Strasse") is not None  # ASCII form
+
+
+def test_anchored_sub_parity(corpus):
+    """The anchored-scan fast path (core._sub_anchored) must be match-for-
+    match identical to plain ``pattern.sub`` for every pattern routed
+    through it — over the reference corpus plus adversarial edge shapes
+    (digit runs, matches at position 0 / end-of-string, back-to-back
+    matches, candidate positions inside a previous match)."""
+    from deidentify_spark.oracle import core as C
+    from deidentify_spark.oracle import patterns as P
+
+    cases = list(corpus["paragraphs"]) + [
+        corpus["basic_example_text"],
+        corpus["international_text"],
+        *corpus["international_addresses"],
+        *[tc["text"] for tc in corpus["text_cases"]],
+        "123 Main Street, Berlin, Germany",
+        "9 Rue Cler Paris France and 77 Elm Road US",
+        "12345" * 200,
+        "7 Oak St US " * 50,
+        "",
+        "x",
+        "00 1 2 3",
+        "123-45-678 Pine Avenue UK",
+        "9 Marien Straße",
+        "42 Foo Bar Way, Tokyo, Japan tail 13 Elm St USA",
+        "1" + "a" * 5000 + "2 Elm Street France",
+        "\n".join(f"{i} Low Rd UK" for i in range(50)),
+        "+1 (555) 123-4567 and 5551234567",
+        "((((",
+        "call 555.123.4567 or (555)123 4567.",
+        "+99 999 999 9999 done",
+        "9" * 4000,
+        "+1 5551234567+2 4445556666",
+    ]
+    repl = lambda m: "<X>"  # noqa: E731
+    digit_pats = (P.SPECIAL_ADDRESS_1_RE, P.SPECIAL_ADDRESS_2_RE, P.ADDRESS_RE)
+    for text in cases:
+        for pat in digit_pats:
+            assert C._sub_anchored(C._DIGIT_RUN_RE, pat, repl, text) == pat.sub(
+                repl, text
+            ), text[:80]
+        assert C._sub_anchored(
+            C._PHONE_START_RE, P.PHONE_RE, repl, text
+        ) == P.PHONE_RE.sub(repl, text), text[:80]
