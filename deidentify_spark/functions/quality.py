@@ -165,6 +165,23 @@ def quality_metrics(text: Column, cfg: QualityConfig) -> dict[str, Column]:
     }
 
 
+# The two per-word predicates (contains-a-letter, is-a-stopword-after-
+# punct-strip) are pure functions of the word given a config, and web
+# text repeats words heavily, so they are memoized per config. The memo
+# only caches single-word results — rule semantics and thresholds are
+# untouched (pinned identical by tests/test_functions.py) — and is
+# cleared at 1M entries to bound worker memory on open-vocabulary input.
+_WORD_PUNCT = "\"'.,;:!?()[]{}<>-_#"
+_WORD_FLAG_CACHES: dict[QualityConfig, dict[str, tuple[bool, bool]]] = {}
+
+
+def _word_flag_cache(cfg: QualityConfig) -> dict[str, tuple[bool, bool]]:
+    cache = _WORD_FLAG_CACHES.get(cfg)
+    if cache is None:
+        cache = _WORD_FLAG_CACHES[cfg] = {}
+    return cache
+
+
 def quality_pre_reason_py(text: str, cfg: QualityConfig) -> str | None:
     """Python twin of the Column-expression rules BEFORE the n-gram
     repetition check (same order, same thresholds), for use inside the
@@ -197,12 +214,27 @@ def quality_pre_reason_py(text: str, cfg: QualityConfig) -> str | None:
     )
     if ellipsis_ends / n_lines > cfg.max_ellipsis_line_frac:
         return "ellipsis_lines"
-    alpha_words = sum(1 for w in words if any(c.isalpha() for c in w))
+    stop = set(cfg.stopwords)
+    cache = _word_flag_cache(cfg)
+    if len(cache) > 1_000_000:
+        cache.clear()
+    get = cache.get
+    alpha_words = 0
+    stop_count = 0
+    for w in words:
+        f = get(w)
+        if f is None:
+            f = (
+                any(c.isalpha() for c in w),
+                w.lower().strip(_WORD_PUNCT) in stop,
+            )
+            cache[w] = f
+        if f[0]:
+            alpha_words += 1
+        if f[1]:
+            stop_count += 1
     if alpha_words / n_words < cfg.min_alpha_word_frac:
         return "alpha_ratio"
-    stop = set(cfg.stopwords)
-    punct = "\"'.,;:!?()[]{}<>-_#"
-    stop_count = sum(1 for w in words if w.lower().strip(punct) in stop)
     if stop_count < cfg.min_stopword_count:
         return "few_stopwords"
     if len(lines) > 0 and 1.0 - len(set(lines)) / n_lines > cfg.max_dup_line_frac:

@@ -157,3 +157,49 @@ def test_quality_rules_parity_non_ascii(spark):
     # and the banned phrase actually fired
     by_text = {r.text: r.r for r in col_rows}
     assert by_text[texts[3]] == "policy_phrase"
+
+
+def test_perplexity_word_re_engines_agree():
+    """The perplexity tokenizer pattern [a-z']+ is plain ASCII, so the
+    stdlib `re` engine it now uses must tokenize exactly like the `regex`
+    module used elsewhere (and like the one it replaced)."""
+    import regex as regex_mod
+
+    from deidentify_spark.functions.perplexity import _WORD_RE
+    from deidentify_spark.functions.quality import QualityConfig
+    from deidentify_spark.sources.pages import make_doc
+
+    twin = regex_mod.compile(r"[a-z']+")
+    cfg = QualityConfig()
+    cases = [make_doc(7, i, cfg)["text"].lower() for i in range(200)] + [
+        "", "a", "'", "don't stop'n go", "naïve café ños", "abc123def",
+        "   mixed\tws\n", "ß sharp", "O'NEIL lower o'neil",
+    ]
+    for t in cases:
+        assert _WORD_RE.findall(t) == twin.findall(t), t[:60]
+
+
+def test_word_flag_cache_pure_and_bounded():
+    """The per-word memo behind quality_pre_reason_py caches pure
+    per-word predicates only: cached and uncached runs must agree, and
+    distinct configs must not share entries."""
+    from dataclasses import replace
+
+    from deidentify_spark.functions.quality import (
+        QualityConfig,
+        _WORD_FLAG_CACHES,
+        quality_pre_reason_py,
+    )
+    from deidentify_spark.sources.pages import make_doc
+
+    cfg = QualityConfig()
+    strict = replace(cfg, stopwords=("xyzzy",))
+    docs = [make_doc(11, i, cfg)["text"] for i in range(300)]
+    _WORD_FLAG_CACHES.clear()
+    cold = [quality_pre_reason_py(t, cfg) for t in docs]
+    warm = [quality_pre_reason_py(t, cfg) for t in docs]  # cache hits
+    assert cold == warm
+    # a config with different stopwords gets its own cache and results
+    strict_r = [quality_pre_reason_py(t, strict) for t in docs]
+    assert any(r == "few_stopwords" for r in strict_r)
+    assert set(_WORD_FLAG_CACHES) == {cfg, strict}
