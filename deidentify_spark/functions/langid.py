@@ -99,24 +99,32 @@ def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
     (32 workers x 32 BLAS threads measured as a 2x end-to-end slowdown
     at local[32])."""
     mat, langs = _get_model()
-    preds, confs = [], []
-    for t in texts:
+    n = len(texts)
+    scores_all = np.zeros((n, len(langs)), dtype=np.float32)
+    valid = np.zeros(n, dtype=bool)
+    for j, t in enumerate(texts):
         if not t:
-            preds.append("und")
-            confs.append(0.0)
             continue
         idx, cnt = _sparse_counts(t)
         norm = float(np.sqrt((cnt * cnt).sum()))
         if norm == 0.0:
-            preds.append("und")
-            confs.append(0.0)
             continue
-        scores = mat[:, idx] @ (cnt / norm)
-        e = np.exp((scores - scores.max()) * _SOFTMAX_TEMP)
-        p = e / e.sum()
-        best = int(np.argmax(p))
-        preds.append(langs[best])
-        confs.append(float(p[best]))
+        scores_all[j] = mat[:, idx] @ (cnt / norm)
+        valid[j] = True
+    preds: list[str] = ["und"] * n
+    confs: list[float] = [0.0] * n
+    if valid.any():
+        # softmax/argmax batched across docs — row-wise elementwise ops
+        # and 9-element reductions, bit-identical to the per-doc form
+        # (pinned by test_langid_batched_softmax_bit_identical)
+        s = scores_all[valid]
+        e = np.exp((s - s.max(axis=1, keepdims=True)) * _SOFTMAX_TEMP)
+        p = e / e.sum(axis=1, keepdims=True)
+        best = p.argmax(axis=1)
+        bconf = p[np.arange(p.shape[0]), best]
+        for k, j in enumerate(np.flatnonzero(valid)):
+            preds[j] = langs[int(best[k])]
+            confs[j] = float(bconf[k])
     return preds, confs
 
 

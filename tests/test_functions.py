@@ -203,3 +203,41 @@ def test_word_flag_cache_pure_and_bounded():
     strict_r = [quality_pre_reason_py(t, strict) for t in docs]
     assert any(r == "few_stopwords" for r in strict_r)
     assert set(_WORD_FLAG_CACHES) == {cfg, strict}
+
+
+def test_langid_batched_softmax_bit_identical():
+    """predict_batch's batched softmax/argmax tail must be bit-identical
+    to the per-doc scalar form it replaced (same pairwise 9-element
+    reductions), including the empty/whitespace 'und' paths."""
+    import numpy as np
+
+    from deidentify_spark.functions import langid as L
+    from deidentify_spark.functions.quality import QualityConfig
+    from deidentify_spark.sources.pages import make_doc
+
+    mat, langs = L._get_model()
+
+    def scalar_ref(texts):
+        preds, confs = [], []
+        for t in texts:
+            if not t:
+                preds.append("und"); confs.append(0.0); continue
+            idx, cnt = L._sparse_counts(t)
+            norm = float(np.sqrt((cnt * cnt).sum()))
+            if norm == 0.0:
+                preds.append("und"); confs.append(0.0); continue
+            scores = mat[:, idx] @ (cnt / norm)
+            e = np.exp((scores - scores.max()) * L._SOFTMAX_TEMP)
+            p = e / e.sum()
+            best = int(np.argmax(p))
+            preds.append(langs[best]); confs.append(float(p[best]))
+        return preds, confs
+
+    cfg = QualityConfig()
+    texts = [make_doc(5, i, cfg)["text"] for i in range(400)] + [
+        "", "   ", "\t\n", "¿Dónde está la biblioteca?", "ein kurzer Satz",
+    ]
+    got = L.predict_batch(texts)
+    want = scalar_ref(texts)
+    assert got[0] == want[0]
+    assert got[1] == want[1]  # exact float equality, not approx
