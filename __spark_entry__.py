@@ -410,6 +410,21 @@ def minhash_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("doc_a", "doc_b")
 
 
+def dedup_cc_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-dedup CLUSTERS: transitive closure of the minhash-LSH
+    candidate pairs via alternating large-star/small-star connected
+    components (operators/components.py — O(log^2 n) equi-join rounds,
+    no driver-side graph), summarized per cluster as (canonical kept
+    doc = component min, member count, docs dropped). The DuckDB twin
+    closes the identical pair SQL with a recursive CTE."""
+    from deidentify_spark.operators.components import dedup_clusters
+    from deidentify_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, n=3, k=8, bands=4, max_bucket_size=1000)
+    return dedup_clusters(pairs).orderBy("component")
+
+
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT cosine pairs >= 0.45 via the blocked-GEMM grid operator —
     same semantics as the textbook a.id < b.id join (which remains the
@@ -799,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_top10": ann_cosine_top10,
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
+        "dedup_cc_clusters_documents": dedup_cc_clusters_documents,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "dedup_cap_lineage": dedup_cap_lineage,
@@ -1144,6 +1160,63 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
+        """,
+        # same pair CTEs as minhash_lsh_candidates_documents, then the
+        # transitive closure as a recursive CTE: walk(node, lbl) holds
+        # (n, c) iff c reaches n over symmetrized pair edges, so
+        # MIN(lbl) per node is the component minimum — exactly what the
+        # Spark alternating-star operator assigns.
+        "dedup_cc_clusters_documents": """
+            WITH RECURSIVE words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), mh AS (
+                SELECT doc_id,
+                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
+                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
+                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
+                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
+                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
+                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
+                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
+                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
+                UNION ALL
+                SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            ), kept AS (
+                SELECT doc_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+                FROM bands QUALIFY bsz <= 1000
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM kept a JOIN kept b
+                  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ), walk(node, lbl) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+            ), comp AS (
+                SELECT node, MIN(lbl) AS component FROM walk GROUP BY node
+            )
+            SELECT component, COUNT(*) AS n_docs,
+                   COUNT(*) - 1 AS n_dropped
+            FROM comp GROUP BY component ORDER BY component
         """,
         "dedup_cap_lineage": """
             WITH words AS (

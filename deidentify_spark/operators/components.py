@@ -1,0 +1,169 @@
+"""Connected components over near-dup candidate pairs — the clustering
+step a fuzzy-dedup pipeline needs between "candidate pairs" and "keep
+one document per duplicate cluster".
+
+`minhash_lsh_candidates` / `ngram_jaccard_pairs` / the embedding pair
+miners emit edges (doc_a, doc_b); transitive closure over those edges is
+what defines a duplicate CLUSTER (a~b and b~c means a,b,c are one
+group even if (a,c) was never emitted).  At 10^12 documents the closure
+cannot be computed driver-side — this module implements the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC 2014) as pure DataFrame rounds:
+
+* each round is two groupBy-min + equi-join passes over the edge set —
+  no cartesian products, no collect of the graph to the driver;
+* converges in O(log^2 n) rounds (in practice <10 even for path graphs;
+  near-dup clusters are almost always stars already, converging in 1-2);
+* every round strictly shrinks edge count toward a star forest
+  (node -> component-min), so shuffle volume decreases monotonically;
+* lineage is cut per round with localCheckpoint — an iterative join
+  otherwise compounds the plan exponentially.  On a real cluster prefer
+  `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for fault
+  tolerance; localCheckpoint keeps the sandbox dependency-free.
+
+The driver-visible query `dedup_cc_clusters_documents` runs it over the
+registered minhash-LSH candidate pairs and is oracle-checked against a
+DuckDB recursive-CTE closure of the identical pair SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Orient every edge (big, small), drop self-loops, dedupe."""
+    big = F.greatest(F.col("src"), F.col("dst"))
+    small = F.least(F.col("src"), F.col("dst"))
+    return (
+        edges.select(big.alias("src"), small.alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """(v, min(N(u) u {u})) for every neighbor v > u.
+
+    Works on the symmetric view so every node's full neighborhood is
+    visible; emitted edges keep the (big, small) orientation because
+    m <= u < v by construction.
+    """
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = sym.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select(
+        "src", F.least(F.col("src"), F.col("_mn")).alias("_m")
+    )
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Rewire every node's smaller-neighbor set to its minimum.
+
+    Input is (big, small)-oriented, so grouping by src sees exactly the
+    smaller neighbors N-(u); emit (v, m) for v in N-(u) and (u, m).
+    """
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_m"))
+    rewired = (
+        edges.join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+        .union(mins.select("src", F.col("_m").alias("dst")))
+    )
+    return rewired.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    """(count, order-independent xor-hash) of the edge set — an exact
+    set-equality probe in one tiny aggregate (no sort, no collect)."""
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    ).head()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in `pairs`; component = the
+    minimum node id reachable from it.  Alternating large-star /
+    small-star until the edge set reaches a fixpoint (a star forest).
+
+    max_iter bounds the O(log^2 n) convergence — 25 rounds covers any
+    graph that fits in 2^60 ids many times over; hitting it means a bug,
+    so it raises rather than returning a partial closure.
+    """
+    edges = _canonical(
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    if not edges.head(1):
+        return edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("component")
+        )
+    edges = edges.localCheckpoint(eager=True)
+    fp = _fingerprint(edges)
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # Fixpoint edge set is a star forest: every edge is (member, root).
+    # groupBy-min guards the (impossible at fixpoint, cheap to enforce)
+    # case of a node carrying two labels.
+    members = edges.groupBy(F.col("src").alias("node")).agg(
+        F.min("dst").alias("component")
+    )
+    roots = edges.select(
+        F.col("dst").alias("node"), F.col("dst").alias("component")
+    ).distinct()
+    # a root never appears on the member side at fixpoint, but keep the
+    # min-per-node contract exact under union anyway
+    return (
+        members.union(roots)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-cluster dedup summary over candidate pairs: the canonical
+    kept doc (= component min), member count, and how many docs fuzzy
+    dedup would drop.  Singleton docs never enter `pairs` and are kept
+    implicitly."""
+    comp = connected_components(pairs, src, dst)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dropped"),
+    )
+
+
+def fuzzy_dedup_keep(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every non-canonical member of every duplicate cluster: the
+    end-to-end fuzzy-dedup operator (pairs -> clusters -> keep min id
+    per cluster, plus all docs that never appeared in a pair)."""
+    comp = connected_components(pairs)
+    dropped = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dropped, id_col, "left_anti")
