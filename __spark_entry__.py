@@ -489,6 +489,44 @@ def dedup_cap_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mh.unionByName(jc).orderBy("guard")
 
 
+def dup_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate spans (Lee et al. suffix-array dedup,
+    k-gram form): token-10-gram windows occurring >1x corpus-wide,
+    merged into maximal per-doc spans (operators/curation.py). Output:
+    per-doc span count / duplicated-token count / longest span."""
+    from deidentify_spark.operators.curation import dup_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return dup_span_stats(docs, k=10, min_occ=2).orderBy("doc_id")
+
+
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixing sample: keep 80% of src0-2, 25% of the
+    rest, decided by u32(md5(seed:doc_id)) — a zero-shuffle map-only
+    filter, reproducible across retries/cluster sizes (the resume-safe
+    sampling primitive; operators/curation.py)."""
+    from deidentify_spark.operators.curation import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs,
+        rates={"src0": 0.8, "src1": 0.8, "src2": 0.8},
+        default_rate=0.25,
+        seed=42,
+    )
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing summary: docs laid end-to-end
+    per source, cut every 512 whitespace tokens; one row per
+    (source, chunk) with fill stats (operators/curation.py)."""
+    from deidentify_spark.operators.curation import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512).orderBy("source", "chunk_id")
+
+
 def token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deidentify_spark.functions.text_stats import (
         bpe_ish_token_count,
@@ -818,6 +856,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "dedup_cap_lineage": dedup_cap_lineage,
+        "dup_span_stats_documents": dup_span_stats_documents,
+        "stratified_sample_documents": stratified_sample_documents,
+        "pack_sequences_documents": pack_sequences_documents,
         "token_counts_documents": token_counts_documents,
         "sessionization_events": sessionization_events,
         "sliding_window_events": sliding_window_events,
@@ -1273,6 +1314,76 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
             ORDER BY id_a, id_b
+        """,
+        # gram identity: Spark groups xxhash64(gram), the twin groups
+        # the gram string — identical modulo 64-bit collisions (see
+        # operators/curation.py docstring for the probability math)
+        "dup_span_stats_documents": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(w[i:i+9], ' ') AS gram
+                FROM words, unnest(generate_series(1, len(w) - 9)) AS t(i)
+            ), marked AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY gram) AS occ
+                FROM grams QUALIFY occ >= 2
+            ), isl AS (
+                SELECT doc_id, pos,
+                       MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM marked
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 10) AS e
+                FROM isl2 GROUP BY doc_id, island
+            )
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_dup_spans,
+                   SUM(e - s)::BIGINT AS n_dup_tokens,
+                   MAX(e - s)::BIGINT AS max_span_tokens
+            FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        "stratified_sample_documents": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE (('0x'||substr(md5('42:'||doc_id::VARCHAR),1,8))::BIGINT)
+                      ::DOUBLE / 4294967296.0
+                  < CASE WHEN source IN ('src0','src1','src2')
+                         THEN 0.8 ELSE 0.25 END
+            ORDER BY doc_id
+        """,
+        "pack_sequences_documents": r"""
+            WITH toks AS (
+                SELECT doc_id, source,
+                       CASE WHEN trim(text) = '' THEN 1 ELSE
+                         len(regexp_split_to_array(lower(trim(text)), '\s+'))
+                       END::BIGINT AS n_tokens
+                FROM documents
+            ), off AS (
+                SELECT doc_id, source, n_tokens,
+                       SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens AS start_off
+                FROM toks
+            )
+            -- // not /: DuckDB '/' is true division and ::BIGINT then
+            -- ROUNDS (half-to-even); Spark's cast truncates (= floor
+            -- for the non-negative offsets here)
+            SELECT source, (start_off // 512)::BIGINT AS chunk_id,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_tokens)::BIGINT AS n_tokens,
+                   MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+            FROM off GROUP BY source, chunk_id ORDER BY source, chunk_id
         """,
         "token_counts_documents": """
             SELECT doc_id,

@@ -1,0 +1,143 @@
+"""Corpus-curation operators (operators/curation.py): substring
+duplicate-span detection, deterministic stratified sampling, and
+concat-and-chunk sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidentify_spark.operators.curation import (
+    dup_span_stats,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+# ---------------------------------------------------------------- dup spans
+
+def _words(tag: str, n: int) -> str:
+    return " ".join(f"{tag}{i}" for i in range(n))
+
+
+def test_dup_span_merges_overlapping_windows(spark):
+    # one shared 12-word run -> three overlapping 10-gram windows that
+    # must merge into a single 12-token span in each doc
+    shared = _words("dup", 12)
+    rows = [
+        (1, "s", _words("a", 5) + " " + shared + " " + _words("b", 5)),
+        (2, "s", _words("c", 7) + " " + shared),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(_docs(spark, rows), k=10).collect()
+    }
+    assert set(out) == {1, 2}
+    for d in (1, 2):
+        assert out[d]["n_dup_spans"] == 1
+        assert out[d]["n_dup_tokens"] == 12
+        assert out[d]["max_span_tokens"] == 12
+
+
+def test_dup_span_within_doc_repeat_counts(spark):
+    # the duplicate occurs twice INSIDE one doc -> both spans flagged
+    shared = _words("x", 10)
+    rows = [(1, "s", shared + " " + _words("mid", 6) + " " + shared)]
+    out = dup_span_stats(_docs(spark, rows), k=10).collect()
+    assert len(out) == 1
+    assert out[0]["n_dup_spans"] == 2
+    assert out[0]["n_dup_tokens"] == 20
+
+
+def test_dup_span_disjoint_spans_stay_separate(spark):
+    s1, s2 = _words("p", 10), _words("q", 10)
+    rows = [
+        (1, "s", s1 + " " + _words("gap", 8) + " " + s2),
+        (2, "s", s1),
+        (3, "s", s2),
+    ]
+    out = {r["doc_id"]: r for r in dup_span_stats(_docs(spark, rows), k=10).collect()}
+    assert out[1]["n_dup_spans"] == 2
+    assert out[1]["n_dup_tokens"] == 20
+    assert out[2]["n_dup_spans"] == 1
+
+
+def test_dup_span_short_and_unique_docs_absent(spark):
+    rows = [
+        (1, "s", _words("short", 5)),          # < k words: no grams
+        (2, "s", _words("uniq", 30)),          # no duplicated gram
+        (3, "s", _words("z", 10)),
+        (4, "s", _words("z", 10)),
+    ]
+    out = dup_span_stats(_docs(spark, rows), k=10).collect()
+    assert {r["doc_id"] for r in out} == {3, 4}
+
+
+# ---------------------------------------------------------------- sampling
+
+def test_stratified_sample_deterministic_and_rate(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b", "t") for i in range(2000)]
+    df = _docs(spark, rows)
+    kept1 = stratified_sample(df, {"a": 0.5}, default_rate=0.1, seed=7)
+    kept2 = stratified_sample(df, {"a": 0.5}, default_rate=0.1, seed=7)
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in kept2.collect())
+    by_src = {
+        r["source"]: r["n"]
+        for r in kept1.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # 1000 docs per stratum; binomial 3-sigma
+    assert abs(by_src.get("a", 0) - 500) < 3 * (1000 * 0.25) ** 0.5
+    assert abs(by_src.get("b", 0) - 100) < 3 * (1000 * 0.09) ** 0.5
+
+
+def test_stratified_sample_different_seed_differs(spark):
+    rows = [(i, "a", "t") for i in range(500)]
+    df = _docs(spark, rows)
+    a = {r["doc_id"] for r in stratified_sample(df, {}, 0.5, seed=1).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, {}, 0.5, seed=2).collect()}
+    assert a != b
+
+
+def test_stratified_sample_is_map_only(spark):
+    rows = [(i, "a", "t") for i in range(100)]
+    plan = (
+        stratified_sample(_docs(spark, rows), {"a": 0.5}, 0.1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_sequences_chunk_assignment(spark):
+    # per-doc 4 tokens, budget 8 -> two docs per chunk, in doc_id order
+    rows = [(i, "s", "w w w w") for i in range(6)]
+    out = pack_sequences(_docs(spark, rows), budget=8).orderBy("chunk_id").collect()
+    assert [(r["chunk_id"], r["n_docs"], r["n_tokens"]) for r in out] == [
+        (0, 2, 8),
+        (1, 2, 8),
+        (2, 2, 8),
+    ]
+    assert out[0]["first_doc"] == 0 and out[0]["last_doc"] == 1
+    assert out[2]["first_doc"] == 4 and out[2]["last_doc"] == 5
+
+
+def test_pack_sequences_straddling_doc_belongs_to_start_chunk(spark):
+    # doc1 starts at offset 5 (< 8) so it belongs to chunk 0 even though
+    # it spills past the budget boundary — concat-and-chunk semantics
+    rows = [(0, "s", _words("a", 5)), (1, "s", _words("b", 6)), (2, "s", _words("c", 4))]
+    out = {r["chunk_id"]: r for r in pack_sequences(_docs(spark, rows), budget=8).collect()}
+    assert out[0]["n_docs"] == 2 and out[0]["n_tokens"] == 11
+    assert out[1]["n_docs"] == 1 and out[1]["first_doc"] == 2
+
+
+def test_pack_sequences_strata_independent(spark):
+    rows = [(i, f"s{i % 2}", "w w w") for i in range(4)]
+    out = pack_sequences(_docs(spark, rows), budget=100).collect()
+    assert len(out) == 2  # one chunk per stratum
+    assert all(r["n_docs"] == 2 and r["n_tokens"] == 6 for r in out)
