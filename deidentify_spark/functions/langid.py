@@ -29,7 +29,13 @@ _MASK = _DIM - 1
 # Multipliers for the rolling n-gram hash (odd constants, deterministic).
 _M1 = np.uint64(0x9E3779B97F4A7C15)
 _M2 = np.uint64(0xC2B2AE3D27D4EB4F)
-_SOFTMAX_TEMP = 24.0
+# Re-calibrated 24 -> 36 when LANGID_TRAINING_EXTRA widened the pools:
+# register supplements are parallel translations, which pull class
+# centroids closer together and flatten the softmax (clean-English min
+# conf measured 0.47 -> 0.33 at temp 24, under the 0.35 pipeline gate);
+# 36 restores the original confidence scale (clean min ~0.45) without
+# touching argmax decisions.
+_SOFTMAX_TEMP = 36.0
 # Language ID needs only a prefix: char-n-gram stats converge within a
 # couple KB (fastText/CLD cap similarly). Bounds per-doc cost on huge
 # pages — featurization is O(len) and a 500 KB page would otherwise cost
@@ -72,10 +78,24 @@ def _get_model() -> tuple[np.ndarray, list[str]]:
     """Centroid matrix (n_langs x DIM) + language labels, fitted lazily."""
     global _MODEL
     if _MODEL is None:
-        from deidentify_spark.sources.textpools import LANGID_TRAINING
+        from deidentify_spark.sources.textpools import (
+            LANGID_TRAINING,
+            LANGID_TRAINING_EXTRA,
+        )
 
         langs = sorted(LANGID_TRAINING)
-        mat = np.stack([featurize(LANGID_TRAINING[lang]) for lang in langs])
+        # class centroid = mean of per-TEXT normalized feature vectors
+        # (narrative base + each register supplement weighs equally —
+        # concatenating instead would let the long narrative drown the
+        # short legal/tech/conversational texts), then re-normalized.
+        rows = []
+        for lang in langs:
+            vecs = [featurize(LANGID_TRAINING[lang])] + [
+                featurize(t) for t in LANGID_TRAINING_EXTRA.get(lang, [])
+            ]
+            m = np.mean(vecs, axis=0)
+            rows.append(m / (np.linalg.norm(m) or 1.0))
+        mat = np.stack(rows)
         _MODEL = (mat, langs)
     return _MODEL
 

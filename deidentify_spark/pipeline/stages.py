@@ -38,7 +38,7 @@ from deidentify_spark.functions.quality import QualityConfig
 class PipelineConfig:
     secret_key: str
     target_lang: str = "en"
-    # Conf gate sits below the observed clean-English minimum (~0.47) and
+    # Conf gate sits below the observed clean-English minimum (~0.45) and
     # above ambiguous-garbage scores; no non-English doc scores as 'en' at
     # any confidence in calibration (tests/test_functions.py). Low
     # confidence alone defers to quality/perplexity and is only the drop

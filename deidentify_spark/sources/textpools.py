@@ -286,3 +286,219 @@ PERPLEXITY_TRAINING = (
     "line. Rain or shine, the postman reached the last house on the hill by "
     "noon. The students argued cheerfully about the match on their way home."
 )
+
+# Register-diverse langid training supplements (round 3). The original
+# LANGID_TRAINING paragraphs are one translated narrative per language;
+# centroids fitted on them alone drift toward narrative prose and miss
+# on other registers (measured: es legal boilerplate scored fr, a short
+# de sentence scored nl — BASELINE.md "LangID on out-of-generator
+# text"). These supplements cover the registers real web text actually
+# has — news reporting, software/how-to, legal/commerce boilerplate,
+# conversational, food/recipes — with FRESH content (the stress fixture
+# stays disjoint; tests/test_langid_stress.py asserts no 40-char
+# overlap). Only functions/langid.py consumes this dict; the perplexity
+# LM deliberately keeps its original corpus (functions/perplexity.py)
+# so its calibration goldens are unaffected.
+LANGID_TRAINING_EXTRA = {
+    "en": [
+        "City officials confirmed on Tuesday that repairs to the harbor bridge "
+        "will finish ahead of schedule, and traffic should return to both lanes "
+        "before the end of the month, according to a spokesperson.",
+        "To apply the update, download the package, verify the checksum, and "
+        "run the installer with administrator rights. If the service fails to "
+        "restart, inspect the log file for errors before trying again.",
+        "By accessing this service you accept the terms and conditions set out "
+        "below. The provider reserves the right to amend this agreement at any "
+        "time without prior notice, and continued use constitutes acceptance.",
+        "Honestly, the film felt way too long to me, but the ending nearly "
+        "made up for it. Should we grab a bite somewhere before the next "
+        "showing, or just head straight home?",
+        "Simmer the onions in butter over low heat until golden, then add the "
+        "rice and a ladle of warm stock. Stir often and season to taste with "
+        "salt, pepper, and a handful of grated cheese.",
+        "If the request times out, retry with exponential backoff: response = "
+        "client.get(url, timeout=30); data = response.json(). Make sure the API "
+        "key is set in the environment, run npm install after pulling, and check "
+        "that the endpoint returns status 200 before parsing the body. The stack "
+        "trace points at line 42 in utils.py, where the function returns None "
+        "instead of a list.",
+        "We use cookies to improve your experience on this website. You can "
+        "manage your subscription and notification preferences in your account "
+        "settings, and you may unsubscribe at any time. For questions about how "
+        "your personal data is processed, please contact our support team.",
+    ],
+    "fr": [
+        "La mairie a confirmé mardi que la réfection du pont du port serait "
+        "achevée avant la date prévue, et la circulation reprendra sur les "
+        "deux voies avant la fin du mois, selon un porte-parole.",
+        "Pour appliquer la mise à jour, téléchargez le paquet, vérifiez la "
+        "somme de contrôle, puis lancez l'installation avec les droits "
+        "d'administrateur. Si le service ne redémarre pas, consultez le "
+        "fichier journal avant de réessayer.",
+        "En accédant à ce service, vous acceptez les conditions générales "
+        "énoncées ci-dessous. Le prestataire se réserve le droit de modifier "
+        "le présent accord à tout moment et sans préavis.",
+        "Franchement, j'ai trouvé le film bien trop long, mais la fin "
+        "rattrape presque tout. On se prend un truc à manger avant la "
+        "prochaine séance, ou on rentre directement ?",
+        "Faites revenir les oignons dans le beurre à feu doux jusqu'à ce "
+        "qu'ils soient dorés, puis ajoutez le riz et une louche de bouillon "
+        "chaud. Remuez souvent et assaisonnez de sel et de poivre.",
+        "Nous utilisons des cookies pour améliorer votre expérience sur ce site. "
+        "Vous pouvez gérer votre abonnement et vos préférences de notification "
+        "dans les paramètres de votre compte, et vous désinscrire à tout moment. "
+        "Pour toute question sur le traitement de vos données personnelles, "
+        "contactez notre équipe d'assistance.",
+    ],
+    "de": [
+        "Die Stadtverwaltung bestätigte am Dienstag, dass die Sanierung der "
+        "Hafenbrücke früher als geplant abgeschlossen wird; der Verkehr soll "
+        "laut einem Sprecher noch vor Monatsende wieder auf beiden Spuren "
+        "rollen.",
+        "Um das Update einzuspielen, laden Sie das Paket herunter, prüfen Sie "
+        "die Prüfsumme und starten Sie die Installation mit "
+        "Administratorrechten. Startet der Dienst nicht neu, sehen Sie zuerst "
+        "in der Protokolldatei nach.",
+        "Mit dem Zugriff auf diesen Dienst erkennen Sie die nachstehenden "
+        "Geschäftsbedingungen an. Der Anbieter behält sich vor, diese "
+        "Vereinbarung jederzeit ohne Ankündigung zu ändern.",
+        "Ehrlich gesagt war mir der Film viel zu lang, aber das Ende hat "
+        "einiges wettgemacht. Wollen wir vorher noch schnell etwas essen, "
+        "oder fahren wir gleich nach Hause? Die Bäckerei an der Ecke hat "
+        "heute länger auf.",
+        "Dünsten Sie die Zwiebeln in Butter bei schwacher Hitze goldgelb, "
+        "geben Sie dann den Reis und eine Kelle warme Brühe dazu. Oft "
+        "umrühren und mit Salz und Pfeffer abschmecken.",
+        "Wir verwenden Cookies, um Ihre Erfahrung auf dieser Webseite zu "
+        "verbessern. Sie können Ihr Abonnement und Ihre "
+        "Benachrichtigungseinstellungen in Ihrem Konto verwalten und sich "
+        "jederzeit abmelden. Bei Fragen zur Verarbeitung Ihrer "
+        "personenbezogenen Daten wenden Sie sich an unseren Support.",
+    ],
+    "es": [
+        "El ayuntamiento confirmó el martes que la reparación del puente del "
+        "puerto terminará antes de lo previsto, y el tráfico volverá a los "
+        "dos carriles antes de fin de mes, según un portavoz.",
+        "Para aplicar la actualización, descargue el paquete, compruebe la "
+        "suma de verificación y ejecute el instalador con permisos de "
+        "administrador. Si el servicio no se reinicia, revise el archivo de "
+        "registro antes de intentarlo de nuevo.",
+        "Al acceder a este servicio usted acepta los términos y condiciones "
+        "expuestos a continuación. El proveedor se reserva el derecho de "
+        "modificar el presente acuerdo en cualquier momento y sin previo "
+        "aviso.",
+        "La verdad, la película se me hizo larguísima, pero el final casi lo "
+        "compensa. ¿Comemos algo antes de la próxima función o nos vamos "
+        "directamente a casa?",
+        "Sofría la cebolla en mantequilla a fuego lento hasta que esté "
+        "dorada, añada el arroz y un cucharón de caldo caliente. Remueva a "
+        "menudo y sazone con sal y pimienta al gusto.",
+        "Utilizamos cookies para mejorar su experiencia en este sitio web. Puede "
+        "gestionar su suscripción y sus preferencias de notificación en la "
+        "configuración de su cuenta, y darse de baja en cualquier momento. Si "
+        "tiene preguntas sobre el tratamiento de sus datos personales, póngase "
+        "en contacto con nuestro equipo de soporte.",
+    ],
+    "it": [
+        "Il comune ha confermato martedì che il restauro del ponte del porto "
+        "sarà completato prima del previsto, e il traffico tornerà su "
+        "entrambe le corsie entro la fine del mese, secondo un portavoce.",
+        "Per applicare l'aggiornamento, scaricate il pacchetto, verificate "
+        "la somma di controllo ed eseguite l'installazione con i permessi di "
+        "amministratore. Se il servizio non riparte, controllate prima il "
+        "file di registro.",
+        "Accedendo a questo servizio l'utente accetta i termini e le "
+        "condizioni riportati di seguito. Il fornitore si riserva il diritto "
+        "di modificare il presente accordo in qualsiasi momento senza "
+        "preavviso.",
+        "Sinceramente il film mi è sembrato troppo lungo, però il finale "
+        "ripaga quasi tutto. Mangiamo qualcosa prima del prossimo "
+        "spettacolo o torniamo subito a casa?",
+        "Fate appassire la cipolla nel burro a fuoco dolce finché non è "
+        "dorata, poi unite il riso e un mestolo di brodo caldo. Mescolate "
+        "spesso e regolate di sale e pepe.",
+        "Utilizziamo i cookie per migliorare la vostra esperienza su questo "
+        "sito. Potete gestire l'abbonamento e le preferenze di notifica nelle "
+        "impostazioni del vostro account e annullare l'iscrizione in qualsiasi "
+        "momento. Per domande sul trattamento dei dati personali, contattate il "
+        "nostro servizio di assistenza.",
+    ],
+    "pt": [
+        "A câmara municipal confirmou na terça-feira que a reparação da "
+        "ponte do porto ficará pronta antes do previsto, e o trânsito "
+        "voltará às duas faixas antes do fim do mês, segundo um porta-voz.",
+        "Para aplicar a atualização, descarregue o pacote, confirme a soma "
+        "de verificação e execute o instalador com permissões de "
+        "administrador. Se o serviço não reiniciar, verifique o ficheiro de "
+        "registo antes de tentar novamente.",
+        "Ao aceder a este serviço, o utilizador aceita os termos e condições "
+        "descritos abaixo. O fornecedor reserva-se o direito de alterar o "
+        "presente acordo a qualquer momento e sem aviso prévio.",
+        "Sinceramente, achei o filme comprido demais, mas o final quase "
+        "compensa. Vamos comer qualquer coisa antes da próxima sessão ou "
+        "seguimos logo para casa?",
+        "Refogue a cebola na manteiga em lume brando até dourar, junte o "
+        "arroz e uma concha de caldo quente. Mexa com frequência e tempere "
+        "com sal e pimenta a gosto.",
+        "Utilizamos cookies para melhorar a sua experiência neste site. Pode "
+        "gerir a sua subscrição e as preferências de notificação nas definições "
+        "da sua conta, e cancelar a subscrição a qualquer momento. Em caso de "
+        "dúvidas sobre o tratamento dos seus dados pessoais, contacte a nossa "
+        "equipa de apoio.",
+    ],
+    "nl": [
+        "Het stadsbestuur bevestigde dinsdag dat het herstel van de "
+        "havenbrug eerder klaar is dan gepland; het verkeer rijdt volgens "
+        "een woordvoerder voor het einde van de maand weer over beide "
+        "rijstroken.",
+        "Om de update toe te passen downloadt u het pakket, controleert u de "
+        "controlesom en voert u het installatieprogramma uit met "
+        "beheerdersrechten. Start de dienst niet opnieuw op, kijk dan eerst "
+        "in het logbestand.",
+        "Door gebruik te maken van deze dienst aanvaardt u de onderstaande "
+        "algemene voorwaarden. De aanbieder behoudt zich het recht voor deze "
+        "overeenkomst op elk moment zonder kennisgeving te wijzigen.",
+        "Eerlijk gezegd vond ik de film veel te lang, maar het einde maakte "
+        "veel goed. Zullen we nog even iets eten voor de volgende "
+        "voorstelling, of gaan we meteen naar huis?",
+        "Fruit de uien in boter op laag vuur goudgeel, voeg dan de rijst en "
+        "een soeplepel warme bouillon toe. Roer regelmatig en breng op smaak "
+        "met zout en peper.",
+        "Wij gebruiken cookies om uw ervaring op deze website te verbeteren. U "
+        "kunt uw abonnement en meldingsvoorkeuren beheren in uw "
+        "accountinstellingen en u op elk moment uitschrijven. Voor vragen over "
+        "de verwerking van uw persoonsgegevens kunt u contact opnemen met onze "
+        "klantenservice.",
+    ],
+    "ru": [
+        "Городская администрация подтвердила во вторник, что ремонт моста в "
+        "порту завершится раньше срока, и движение по обеим полосам "
+        "возобновится до конца месяца, сообщил представитель мэрии.",
+        "Чтобы установить обновление, скачайте пакет, проверьте контрольную "
+        "сумму и запустите установщик с правами администратора. Если служба "
+        "не перезапускается, сначала посмотрите файл журнала.",
+        "Получая доступ к этому сервису, вы принимаете изложенные ниже "
+        "условия использования. Поставщик оставляет за собой право изменять "
+        "настоящее соглашение в любое время без предварительного "
+        "уведомления.",
+        "Честно говоря, фильм показался мне слишком длинным, но концовка "
+        "почти всё исправила. Перекусим что-нибудь перед следующим сеансом "
+        "или сразу поедем домой?",
+        "Обжарьте лук в сливочном масле на слабом огне до золотистого "
+        "цвета, затем добавьте рис и половник тёплого бульона. Часто "
+        "помешивайте и приправьте солью и перцем по вкусу.",
+        "Мы используем файлы cookie, чтобы улучшить вашу работу с этим сайтом. "
+        "Вы можете управлять подпиской и настройками уведомлений в личном "
+        "кабинете и отписаться в любой момент. По вопросам обработки "
+        "персональных данных обращайтесь в службу поддержки.",
+    ],
+    "ja": [
+        "市当局は火曜日、港の橋の補修工事が予定より早く完了すると発表した。広報担当者によると、今月末までに両車線の通行が再開される見込みだという。",
+        "更新を適用するには、パッケージをダウンロードしてチェックサムを確認し、管理者権限でインストーラーを実行してください。サービスが再起動しない場合は、まずログファイルを確認してください。",
+        "本サービスを利用することにより、利用者は以下に定める利用規約に同意したものとみなされます。提供者は本契約を予告なくいつでも変更する権利を有します。",
+        "正直なところ、映画は長すぎると思ったけれど、結末でほとんど取り返した気がする。次の上映の前に何か食べに行く、それともまっすぐ帰る？",
+        "弱火でバターを溶かし、玉ねぎを黄金色になるまで炒めてから、米と温かいスープをお玉一杯加えます。頻繁にかき混ぜ、塩と胡椒で味を調えてください。",
+        "当サイトでは、快適にご利用いただくためにクッキーを使用しています。アカウント設定から購読と通知の設定を管理でき、"
+        "いつでも配信を停止できます。個人データの取り扱いに関するご質問は、サポートチームまでお問い合わせください。",
+    ],
+}

@@ -8,10 +8,13 @@ sports reports, reviews, legal boilerplate, weather bulletins) with
 labels fixed by hand at authoring time — an out-of-distribution check.
 
 Measured at round 3 (frozen expectations, see BASELINE.md "LangID on
-out-of-generator text"): clean 53/54 (0.981) — one es->fr miss on legal
-boilerplate; hard 8/10 — es->fr on code-mixed Spanish and de->nl on a
-7-word sentence. The gates below leave one-miss headroom so an
-unrelated change doesn't flake, but a real regression fails fast.
+out-of-generator text"): after widening LANGID_TRAINING with
+register-diverse supplements (LANGID_TRAINING_EXTRA: news, software,
+legal, conversational, recipes, privacy boilerplate, code-flavored
+English), clean 54/54 and hard 9/10 — the one remaining miss is de->nl
+on a 7-word sentence, an honest close-pair limit of char-n-gram
+centroids. The gates below leave one-miss headroom so an unrelated
+change doesn't flake, but a real regression fails fast.
 """
 
 import json
