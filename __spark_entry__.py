@@ -517,6 +517,20 @@ def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "source").orderBy("doc_id")
 
 
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style n-gram overlap): corpus
+    docs sharing any word-8-gram with the held-out eval slice
+    (doc_id % 7 == 0 — a deterministic stand-in for a benchmark set).
+    The eval gram set broadcasts; the corpus side never shuffles its
+    grams (operators/curation.py)."""
+    from deidentify_spark.operators.curation import decontaminate_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 7 == 0)
+    corpus = docs.where(F.col("doc_id") % 7 != 0)
+    return decontaminate_flags(corpus, ev, n=8).orderBy("doc_id")
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing summary: docs laid end-to-end
     per source, cut every 512 whitespace tokens; one row per
@@ -859,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats_documents": dup_span_stats_documents,
         "stratified_sample_documents": stratified_sample_documents,
         "pack_sequences_documents": pack_sequences_documents,
+        "decontaminate_documents": decontaminate_documents,
         "token_counts_documents": token_counts_documents,
         "sessionization_events": sessionization_events,
         "sliding_window_events": sliding_window_events,
@@ -1361,6 +1376,27 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source IN ('src0','src1','src2')
                          THEN 0.8 ELSE 0.25 END
             ORDER BY doc_id
+        """,
+        # Spark joins on xxhash64(gram), the twin on the gram string —
+        # identical modulo 64-bit collisions (curation.py docstring)
+        "decontaminate_documents": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+                FROM words, unnest(generate_series(1, len(w) - 7)) AS t(i)
+            ), ev AS (
+                SELECT DISTINCT gram FROM grams WHERE doc_id % 7 = 0
+            ), corpus AS (
+                SELECT doc_id, gram FROM grams WHERE doc_id % 7 != 0
+            )
+            SELECT doc_id,
+                   COUNT(*)::BIGINT AS n_contaminated_grams,
+                   COUNT(DISTINCT gram)::BIGINT AS n_distinct_eval_grams_hit
+            FROM corpus JOIN ev USING (gram)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "pack_sequences_documents": r"""
             WITH toks AS (

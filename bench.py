@@ -278,10 +278,15 @@ def main() -> None:
             "hw_lo": _sub(["--hwleg", str(lo), "1500"]),
             "hw_hi": _sub(["--hwleg", str(CPUS), "1500"]),
             # N->4N pair in the regime where this box's own multi-core
-            # scaling is linear (2->8): the clean north-rule datapoint,
-            # inside the trial so the median smooths co-tenant noise
-            "thr_2": PIPELINE_DOCS / _sub(["--leg", "2", str(PIPELINE_DOCS)]),
-            "thr_8": PIPELINE_DOCS / _sub(["--leg", "8", str(PIPELINE_DOCS)]),
+            # scaling is linear (2->8): the clean north-rule datapoint.
+            # Runs at 2x the docs of the headline legs: the constant
+            # ~2-4s per-leg overhead (repartition shuffle + straggler
+            # tail) is an Amdahl term that a multi-hour 100-TB job never
+            # sees, and at 150k docs it alone costs ~0.08 efficiency on
+            # the 8-core leg (t8 ~13s). 300k docs halves its weight —
+            # still a strong-scaling measurement (same input both legs).
+            "thr_2": 2 * PIPELINE_DOCS / _sub(["--leg", "2", str(2 * PIPELINE_DOCS)]),
+            "thr_8": 2 * PIPELINE_DOCS / _sub(["--leg", "8", str(2 * PIPELINE_DOCS)]),
         }
         t["eff_raw"] = t["thr_hi"] / (t["thr_lo"] * ratio)
         t["hw_scaling"] = t["hw_hi"] / (t["hw_lo"] * ratio)

@@ -1,9 +1,10 @@
 """Corpus-curation operators a training-data pipeline runs between
 dedup and tokenization: substring-level duplicate-span detection,
-deterministic stratified sampling (data-mixing weights), and
-concat-and-chunk sequence packing.
+deterministic stratified sampling (data-mixing weights),
+concat-and-chunk sequence packing, and benchmark decontamination
+(n-gram overlap vs a held-out eval set).
 
-All three are pure DataFrame compositions (no Python UDFs):
+All are pure DataFrame compositions (no Python UDFs):
 
 * dup spans:  positional k-gram explode -> per-gram global occurrence
   count (one window shuffle on the gram hash) -> gaps-and-islands merge
@@ -186,4 +187,40 @@ def pack_sequences(
         F.sum("n_tokens").alias("n_tokens"),
         F.min(id_col).alias("first_doc"),
         F.max(id_col).alias("last_doc"),
+    )
+
+
+def decontaminate_flags(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    n-gram with an evaluation set (the GPT-3/PaLM 13-gram-overlap
+    technique, n configurable). Returns (id, n_contaminated_grams,
+    n_distinct_eval_grams_hit) per flagged doc — the remove/keep policy
+    is the caller's (training pipelines usually drop or split).
+
+    Scale shape: the eval set is tiny next to the corpus (benchmarks are
+    thousands of docs, the corpus 10^12), so its distinct gram-hash set
+    BROADCASTS — the corpus side is one narrow explode + broadcast
+    semi-join-style aggregation, no shuffle of corpus grams at all
+    (pinned in tests/test_plans.py: BroadcastHashJoin, zero exchanges on
+    the corpus branch below the final per-doc groupBy). Gram identity is
+    xxhash64, same collision math as dup_span_stats.
+    """
+    eval_grams = (
+        _positional_kgrams(eval_df, n, text_col, id_col)
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    doc_grams = _positional_kgrams(df, n, text_col, id_col).select(
+        id_col, F.xxhash64("gram").alias("gh")
+    )
+    hits = doc_grams.join(F.broadcast(eval_grams), "gh")
+    return hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_contaminated_grams"),
+        F.count_distinct("gh").alias("n_distinct_eval_grams_hit"),
     )

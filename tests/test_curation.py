@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from deidentify_spark.operators.curation import (
+    decontaminate_flags,
     dup_span_stats,
     pack_sequences,
     stratified_sample,
@@ -141,3 +142,43 @@ def test_pack_sequences_strata_independent(spark):
     out = pack_sequences(_docs(spark, rows), budget=100).collect()
     assert len(out) == 2  # one chunk per stratum
     assert all(r["n_docs"] == 2 and r["n_tokens"] == 6 for r in out)
+
+
+# ---------------------------------------------------------- decontamination
+
+def test_decontaminate_flags_overlap(spark):
+    shared = _words("bench", 8)
+    corpus = _docs(spark, [
+        (1, "s", _words("a", 6) + " " + shared),          # one 8-gram hit
+        (2, "s", shared + " " + shared),                  # hits twice, same gram
+        (3, "s", _words("c", 20)),                        # clean
+    ])
+    ev = _docs(spark, [(100, "e", _words("x", 4) + " " + shared)])
+    out = {r["doc_id"]: r for r in decontaminate_flags(corpus, ev, n=8).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_contaminated_grams"] == 1
+    assert out[1]["n_distinct_eval_grams_hit"] == 1
+    # doc 2: "bench0..bench7 bench0..bench7" has 9 windows; which of them
+    # appear in the eval doc? only the exact shared window (twice) plus
+    # none of the wrap-around windows -> 2 occurrences of 1 distinct gram
+    assert out[2]["n_contaminated_grams"] == 2
+    assert out[2]["n_distinct_eval_grams_hit"] == 1
+
+
+def test_decontaminate_no_overlap_empty(spark):
+    corpus = _docs(spark, [(1, "s", _words("a", 30))])
+    ev = _docs(spark, [(9, "e", _words("z", 30))])
+    assert decontaminate_flags(corpus, ev, n=8).count() == 0
+
+
+def test_decontaminate_eval_side_broadcasts(spark):
+    corpus = _docs(spark, [(i, "s", _words(f"w{i}", 20)) for i in range(10)])
+    ev = _docs(spark, [(99, "e", _words("w3", 20))])
+    plan = (
+        decontaminate_flags(corpus, ev, n=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
