@@ -1,0 +1,101 @@
+"""North-rule scaling evidence via the REAL launch path: package the
+library, `spark-submit --py-files` the pipeline job at N and 4N local
+cores over the same input, and report throughput at both plus the
+scaling efficiency.
+
+This is the spark-submit counterpart of bench.py's in-process scaling
+legs (the numbers agree; this script exists because the north rule
+words the criterion as "launched via spark-submit --py-files at N and
+4N executors"). Each leg is a full job: synthesize -> filter+scrub ->
+checkpointed parquet write, so the measured quantity is end-to-end JOB
+throughput, not just the compute stage. Multiple trials; the best leg
+per parallelism is the primary estimator (co-tenant interference on
+this box only ever inflates a leg — see bench.py).
+
+Usage: python scripts/scaling_submit.py [--docs 200000] [--trials 2]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import shutil
+import subprocess
+import sys
+import tempfile
+import zipfile
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _submit(cores: int, docs: int, pkg: pathlib.Path, out: pathlib.Path) -> float:
+    r = subprocess.run(
+        [
+            "spark-submit",
+            "--master", f"local[{cores}]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 8)}",
+            "--conf", "spark.sql.adaptive.enabled=true",
+            "--py-files", str(pkg),
+            str(ROOT / "jobs" / "run_pipeline_job.py"),
+            "--synthesize", str(docs),
+            "--output", str(out),
+            "--secret-key", "bench-key",
+            "--n-waves", "1",
+            "--repartition", str(cores * 8),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=1200,
+        cwd=str(out.parent),  # not the repo root: --py-files must carry the pkg
+        env={**os.environ, "OMP_NUM_THREADS": "1", "OPENBLAS_NUM_THREADS": "1"},
+    )
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-2000:])
+    summary = json.loads(r.stdout.strip().splitlines()[-1])
+    assert summary["docs_out"] == docs, summary
+    return docs / summary["seconds"]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=200000)
+    ap.add_argument("--lo", type=int, default=2)
+    ap.add_argument("--trials", type=int, default=2)
+    args = ap.parse_args()
+    hi = args.lo * 4
+
+    with tempfile.TemporaryDirectory() as td:
+        tdp = pathlib.Path(td)
+        pkg = tdp / "deidentify_spark.zip"
+        with zipfile.ZipFile(pkg, "w") as zf:
+            for f in (ROOT / "deidentify_spark").rglob("*.py"):
+                zf.write(f, f.relative_to(ROOT))
+        thr = {args.lo: [], hi: []}
+        for t in range(args.trials):
+            for cores in (args.lo, hi):
+                out = tdp / f"run_c{cores}_t{t}"
+                thr[cores].append(_submit(cores, args.docs, pkg, out))
+                shutil.rmtree(out, ignore_errors=True)
+        best_lo, best_hi = max(thr[args.lo]), max(thr[hi])
+        print(
+            json.dumps(
+                {
+                    "launch": "spark-submit --py-files (checkpointed job, 1 wave)",
+                    "docs": args.docs,
+                    f"docs_per_sec_local[{args.lo}]": round(best_lo, 1),
+                    f"docs_per_sec_local[{hi}]": round(best_hi, 1),
+                    "scaling_efficiency": round(best_hi / (4 * best_lo), 3),
+                    "all_trials": {
+                        str(c): [round(x, 1) for x in v] for c, v in thr.items()
+                    },
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
