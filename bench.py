@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "ngram_jaccard_near_dups",
     "dup_span_stats_documents",
+    "decontaminate_documents",
     "minhash_lsh_candidates_documents",
     "simhash_near_dups_documents",
     "embedding_near_dups_lsh",

@@ -225,3 +225,34 @@ def test_jaccard_chain_shuffles_hashes_not_strings(spark):
     assert keyed, plan[:2000]
     for m in keyed:
         assert re.search(r"shingle#\d+L", m), m
+
+
+def test_dup_span_plan_join_free_bounded_exchanges(spark):
+    """Substring dup-span detection is windows + aggs only: any join
+    appearing here means the gram identity started self-joining (the
+    quadratic shape the operator exists to avoid). 4 exchanges = fan-out
+    repartition, gram-hash window, doc window (its partitioning is
+    reused by the island agg), final orderBy."""
+    plan = _plan(entry_mod.dup_span_stats_documents(spark, SF))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+              "BroadcastNestedLoop"):
+        assert j not in plan, j
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_pack_sequences_plan_single_data_shuffle(spark):
+    """Packing is one per-stratum window; the (stratum, chunk) agg must
+    reuse the window's hash partitioning (subset key), leaving only the
+    window exchange + the presentation orderBy."""
+    plan = _plan(entry_mod.pack_sequences_documents(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+
+
+def test_decontaminate_plan_broadcasts_eval_grams(spark):
+    """The eval-set gram table must broadcast (benchmarks are tiny next
+    to the corpus); a SortMergeJoin here would shuffle every corpus gram
+    — the exact cost the operator's design avoids."""
+    plan = _plan(entry_mod.decontaminate_documents(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
