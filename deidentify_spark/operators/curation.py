@@ -45,33 +45,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _positional_kgrams(
+def _positional_gram_hashes(
     df: DataFrame, k: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """(id, pos, gram) for every length-k word window; 0-based pos.
-    Tokenization matches word_shingles (lower/trim/RE2 whitespace) so
-    span offsets line up with the shingle operators and the DuckDB twin.
-    Docs with < k words yield no rows (sequence() would step downward —
-    see word_shingles for the guard rationale)."""
-    from deidentify_spark.functions.text_stats import RE2_WS_CLASS
-    from deidentify_spark.operators.dedup import _fan_out
+    """(id, pos, gh) — a 64-bit identity hash for every length-k word
+    window; 0-based pos. Tokenization matches word_shingles
+    (lower/trim/RE2 whitespace) so span offsets line up with the shingle
+    operators and the DuckDB twin. Docs with < k words yield no rows
+    (their lead(k-1) window is incomplete and filtered).
 
-    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
-    # ONE slice per gram, not k element_at calls: Catalyst inlines the
-    # outer `words` split into the transform lambda per reference, so k
-    # element_ats re-split the text k times per position (measured 26s
-    # -> 7.5s single-core at sf0.1 for k=10); _fan_out parallelizes the
-    # remaining cost when the scan arrives as one partition.
-    grams = F.when(
-        F.size(words) >= k,
+    Built over the exchange-materialized words array (see
+    _materialized_words in operators/dedup.py for why the barrier is
+    load-bearing: no CSE inside HOF lambdas — an inlined split would
+    re-run per element, O(n_grams x split_cost) per doc). The gram
+    identity is xxhash64 of the k-word slice — no per-gram string is
+    ever materialized; equivalent to hashing the joined string modulo
+    64-bit collisions (the DuckDB twins group the strings — same
+    equivalence class as before)."""
+    from deidentify_spark.operators.dedup import _materialized_words
+
+    base = _materialized_words(df, text_col, id_col)
+    ghs = F.when(
+        F.size("_words") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(words) - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            F.sequence(F.lit(0), F.size("_words") - k),
+            lambda i: F.xxhash64(F.slice("_words", i + 1, k)),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    return _fan_out(df, id_col).select(
-        F.col(id_col), F.posexplode(grams).alias("pos", "gram")
-    )
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select(F.col(id_col), F.posexplode(ghs).alias("pos", "gh"))
 
 
 def dup_span_stats(
@@ -87,18 +88,38 @@ def dup_span_stats(
     spans. Returns (id, n_dup_spans, n_dup_tokens, max_span_tokens) for
     docs that have at least one duplicated span.
 
-    Gram identity is xxhash64(gram), not the string — the window
-    shuffles 8 bytes per position instead of ~60. A 64-bit collision
+    Gram identity is xxhash64 over the k word columns, not the joined
+    string — the window shuffles 8 bytes per position instead of ~60
+    and no gram string is ever built. A 64-bit collision
     merges two grams' occurrence counts (p ~ n^2/2^65 — at 10^9 distinct
     grams ~3% chance of ONE collision corpus-wide, which can only
     over-mark k tokens); the DuckDB twin groups the strings, identical
     modulo that negligible class.
     """
-    grams = _positional_kgrams(df, k, text_col, id_col).select(
-        id_col, "pos", F.xxhash64("gram").alias("gh")
+    grams = _positional_gram_hashes(df, k, text_col, id_col)
+    # Aggregate-then-join — the two rejected shapes, both MEASURED at
+    # 100k pages x ~190 grams/doc:
+    # * count-over-window sorts the ENTIRE gram table by gh and OOMs 32
+    #   concurrent 1-GiB-heap sort tasks (counting needs no sort);
+    # * group-collect-filter-explode (the minhash-bucket idiom) hits
+    #   ObjectHashAggregate's sort-based fallback (it triggers at 128
+    #   distinct keys; gram keys are millions) — the same full sort.
+    # Here the duplicated-gram KEY SET comes from a codegen
+    # HashAggregate count (spill-safe, no row wider than 16 bytes) and
+    # joins back onto the grams; AQE broadcasts it when small (39k keys
+    # on the worst-case synthetic corpus vs 1.4M distinct) and falls
+    # back to a shuffle join when boilerplate makes it huge. The gram
+    # subtree IS computed once per branch (Spark does not reuse the
+    # materialization exchange across self-referencing branches —
+    # verified on the executed adaptive plan) — an accepted 2x of a
+    # cheap linear map, in exchange for no full-table sort.
+    dup_gh = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_occ)
+        .select("gh")
     )
-    occ = F.count(F.lit(1)).over(Window.partitionBy("gh"))
-    marked = grams.withColumn("occ", occ).where(F.col("occ") >= min_occ)
+    marked = grams.join(dup_gh, "gh")
 
     by_pos = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
@@ -212,12 +233,12 @@ def decontaminate_flags(
     xxhash64, same collision math as dup_span_stats.
     """
     eval_grams = (
-        _positional_kgrams(eval_df, n, text_col, id_col)
-        .select(F.xxhash64("gram").alias("gh"))
+        _positional_gram_hashes(eval_df, n, text_col, id_col)
+        .select("gh")
         .distinct()
     )
-    doc_grams = _positional_kgrams(df, n, text_col, id_col).select(
-        id_col, F.xxhash64("gram").alias("gh")
+    doc_grams = _positional_gram_hashes(df, n, text_col, id_col).select(
+        id_col, "gh"
     )
     hits = doc_grams.join(F.broadcast(eval_grams), "gh")
     return hits.groupBy(id_col).agg(

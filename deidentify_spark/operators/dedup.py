@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -81,29 +81,57 @@ def word_shingles(
     don't appear in the output) — matching the DuckDB oracle twin, where
     ``generate_series(1, len(w)-n+1)`` is empty. The guard matters:
     ``F.sequence(0, size-n)`` steps DOWNWARD when ``size-n < 0`` (Spark
-    sequence semantics), producing [0, -1] and an out-of-range
-    ``element_at`` crash on any 1-2 word doc — common in real web data.
+    sequence semantics), crashing on any 1-2 word doc.
     """
-    # explicit RE2 whitespace class: Java's \s additionally matches \x0B,
-    # which the DuckDB twin's RE2 \s does not — a vertical-tab doc would
-    # shingle differently on the two engines
+    base = _materialized_words(df, text_col, id_col)
+    grams = F.when(
+        F.size("_words") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_words") - n),
+            lambda i: F.concat_ws(" ", F.slice("_words", i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = base.select(F.col(id_col), F.explode(grams).alias("shingle"))
+    return out.distinct() if distinct else out
+
+
+def _materialized_words(
+    df: DataFrame, text_col: str, id_col: str, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id[, extra...], _words) with the split-words array forced into a
+    BOUND ATTRIBUTE behind an exchange.
+
+    Why the exchange is load-bearing, not an optimization knob: Spark
+    performs no common-subexpression elimination inside higher-order-
+    function lambdas, and CollapseProject inlines a projected expression
+    into its consumers — so any ``transform(seq, i -> f(split(text),
+    i))`` form re-evaluates the FULL regex split of the text per array
+    element: O(n_grams x split_cost) per doc. On 50-word test docs
+    that's invisible; on real ~200+-word web pages it is catastrophic
+    (measured: 100k pages at k=10 could not finish in 10 minutes;
+    behind the barrier the same work takes ~9s at local[32]). An
+    exchange is the one boundary CollapseProject cannot cross, making
+    ``_words`` a materialized attribute whose per-element access is
+    O(1). The cost is one linear text-bytes shuffle — every consumer of
+    shingles/grams shuffles comparable volume right after anyway.
+
+    (A tokens-explode + window-lead construction avoids the array
+    entirely but buffers a sort of every token — measured OOMing 32
+    concurrent 1-GiB-heap tasks at 100k pages; the array form has no
+    sort and survives.)
+
+    explicit RE2 whitespace class: Java's \\s additionally matches
+    \\x0B, which the DuckDB twin's RE2 \\s does not — a vertical-tab
+    doc would shingle differently on the two engines.
+    """
     from deidentify_spark.functions.text_stats import RE2_WS_CLASS
 
     words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
-    # ONE slice per shingle, not n element_at calls: Catalyst inlines
-    # the `words` split into the transform lambda once per reference, so
-    # n element_ats re-split the text n times per position (measured
-    # 0.94s -> 0.41s at sf0.1 even fanned out to 32 cores; the curation
-    # k=10 grams saw 26s -> 7.5s single-core from the same rewrite).
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col), F.explode(grams).alias("shingle"))
-    return out.distinct() if distinct else out
+    sc = df.sparkSession.sparkContext
+    width = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("_words")
+    ).repartition(width, id_col)
 
 
 def minhash_signatures(
@@ -201,7 +229,7 @@ def _minhash_buckets(
     # distinct removes a full shuffle of shingle strings (identical
     # output, measured ~20% faster at sf0.1)
     sigs = minhash_signatures(
-        word_shingles(_fan_out(df, id_col), n, text_col, id_col, distinct=False),
+        word_shingles(df, n, text_col, id_col, distinct=False),
         k,
         id_col,
     )
@@ -307,7 +335,7 @@ def ngram_jaccard_pairs(
     # green because no collision occurs at test scale (or realistically
     # any scale).
     sh = (
-        word_shingles(_fan_out(df, id_col), n, text_col, id_col, distinct=False)
+        word_shingles(df, n, text_col, id_col, distinct=False)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
@@ -405,7 +433,7 @@ def ngram_jaccard_dropped_shingles(
     losing signal. Distinct (doc, shingle) memberships, same identity
     (xxhash64) and whitespace semantics as the pair miner."""
     sh = (
-        word_shingles(_fan_out(df, id_col), n, text_col, id_col, distinct=False)
+        word_shingles(df, n, text_col, id_col, distinct=False)
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )

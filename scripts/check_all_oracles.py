@@ -60,6 +60,18 @@ def main() -> int:
             o = odf[cols].sort_values(cols).reset_index(drop=True)
             assert len(s) == len(o), (len(s), len(o))
             pd.testing.assert_frame_equal(s, o, check_dtype=False)
+            # The driver's value-hash is REPRESENTATION-sensitive: round
+            # 2's only red row had identical values but Spark int64 vs
+            # DuckDB HUGEINT->float64 (73327 vs 73327.0 hash apart).
+            # check_dtype=False above would silently pass that, so pin
+            # the numeric KIND per column too (int vs float vs other).
+            kind_mismatch = [
+                (c, s[c].dtype, o[c].dtype)
+                for c in cols
+                if s[c].dtype.kind != o[c].dtype.kind
+                and {s[c].dtype.kind, o[c].dtype.kind} <= {"i", "u", "f"}
+            ]
+            assert not kind_mismatch, f"dtype-kind (driver hash) {kind_mismatch}"
             print(f"{name}: OK ({len(s)} rows)")
         except Exception as ex:  # noqa: BLE001
             failed.append(name)
