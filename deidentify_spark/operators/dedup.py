@@ -42,22 +42,6 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w, id_col, "left_semi")
 
 
-def _fan_out(df: DataFrame, *cols: str) -> DataFrame:
-    """Give heavy per-row compute (shingle explode, K md5 minhashes,
-    signature UDFs) enough tasks to use the cluster: a small parquet
-    input arrives as ONE scan partition (maxPartitionBytes), and the
-    map-side work of the first stage then serializes on a single core —
-    measured 10.8 s of an 11 s minhash run at sf0.1. Repartition to the
-    session's default parallelism ONLY when the input is coarser; a real
-    100-TB scan already has thousands of partitions and this is a no-op
-    (no shuffle added)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target, *cols) if cols else df.repartition(target)
-    return df
-
-
 def _hash60(col: Column) -> Column:
     """First 15 hex chars of md5 as a bigint (60 bits, DuckDB-replicable:
     conv(substring(md5(x),1,15),16,10))."""
@@ -621,12 +605,13 @@ def _simhash_quad_groups(
     shared first half of the simhash operators. The signature UDF is
     evaluated ONCE; the quadrant table is grouped, never self-joined.
 
-    Deliberately NO _fan_out here, unlike the minhash/jaccard chains:
-    the batch signature UDF is vectorized (one factorize + BLAS pass per
-    Arrow batch) and costs far less per doc than a shingle explode, so
-    at test scale the fan-out's repartition + extra stage costs more
-    than the parallelism buys (measured 1.79s vs 1.23s at sf0.1). At
-    corpus scale the scan itself supplies thousands of partitions."""
+    Deliberately NO repartition before the signature UDF, unlike the
+    shingle chains' materialization barrier: the batch signature UDF is
+    vectorized (one factorize + BLAS pass per Arrow batch) and costs
+    far less per doc than a shingle explode, so at test scale an extra
+    repartition + stage costs more than the parallelism buys (measured
+    1.79s vs 1.23s at sf0.1). At corpus scale the scan itself supplies
+    thousands of partitions."""
     sig = df.select(
         F.col(id_col), simhash_udf()(F.col(text_col)).alias("sig")
     )
