@@ -269,7 +269,9 @@ def main() -> None:
     # uncontended capability a dedicated cluster would deliver; the same
     # doctrine as timeit's min-of-repeats) and the median of per-trial
     # ratios (secondary, kept for round-over-round comparability).
-    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+    # Default 2 trials keeps the full run inside ~15 min (the 300k-doc
+    # scaling pair doubled per-trial cost); set 3+ for tighter numbers.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     ratio = CPUS / lo
     per_trial = []
     for _ in range(trials):
