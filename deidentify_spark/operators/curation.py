@@ -108,11 +108,13 @@ def dup_span_stats(
     # HashAggregate count (spill-safe, no row wider than 16 bytes) and
     # joins back onto the grams; AQE broadcasts it when small (39k keys
     # on the worst-case synthetic corpus vs 1.4M distinct) and falls
-    # back to a shuffle join when boilerplate makes it huge. The gram
-    # subtree IS computed once per branch (Spark does not reuse the
-    # materialization exchange across self-referencing branches —
-    # verified on the executed adaptive plan) — an accepted 2x of a
-    # cheap linear map, in exchange for no full-table sort.
+    # back to a shuffle join when boilerplate makes it huge. At RUNTIME
+    # AQE reuses the materialization exchange across the two branches
+    # (ReusedExchange in the executed FINAL plan; it is invisible on
+    # the pre-execution plan string — an unexecuted plan copy misled an
+    # earlier version of this comment), so the text shuffle and the
+    # split run ONCE; only the cheap post-shuffle gram hashing repeats
+    # per branch.
     dup_gh = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))

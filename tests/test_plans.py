@@ -124,8 +124,9 @@ def test_aqe_skew_join_splits_hot_key(spark):
 def test_jaccard_capped_plan_is_join_free(spark):
     """The capped Jaccard is a LINEAR CHAIN: shingles -> cap -> size
     annotation -> per-shingle pair explosion -> one count aggregate.
-    No join anywhere (Spark does not reuse exchanges across self-join
-    branches, so the join formulation recomputes the shingle table 4x —
+    No join anywhere (the self-join formulation measured ~4x the
+    shuffled bytes in round 2 — AQE's runtime exchange reuse only
+    covers the shuffle output, not the per-branch aggregation work —
     see ngram_jaccard_pairs docstring), and every stage is consumed
     exactly once."""
     from deidentify_spark.operators.dedup import ngram_jaccard_pairs
@@ -234,11 +235,20 @@ def test_dup_span_plan_shape(spark):
     shape), never a count-over-window or collect_list aggregate (both
     degrade to a full sort of the gram table and OOM at page scale —
     operators/curation.py documents the measurements)."""
-    plan = _plan(entry_mod.dup_span_stats_documents(spark, SF))
+    df = entry_mod.dup_span_stats_documents(spark, SF)
+    plan = _plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "ObjectHashAggregate" not in plan, "collect_list crept back in"
     # count aggregate must be the codegen HashAggregate form
     assert "HashAggregate" in plan and "count(1)" in plan
+    # and at RUNTIME, AQE must reuse the materialization exchange across
+    # the count branch and the join branch so the text shuffle + split
+    # run once (only visible on the EXECUTED final plan — the
+    # pre-execution string above never shows ReusedExchange)
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, "gram materialization ran twice"
 
 
 def test_pack_sequences_plan_single_data_shuffle(spark):
