@@ -459,6 +459,24 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def semantic_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py
+    semantic_dedup_pairs): IVF coarse clusters + within-cluster exact
+    cosine pairs — ~O(n^2 / n_clusters) total. Runs over deterministic
+    synthetic embeddings with planted clone clusters (same corpus as
+    embedding_near_dups_lsh); value-checked against a frozen golden
+    (the centroid sampling is not SQL-expressible)."""
+    from deidentify_spark.operators.dedup import semantic_dedup_pairs
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(
+        spark, n_base=300, n_clones=60, dim=64, seed=7, partitions=8
+    )
+    return semantic_dedup_pairs(emb, threshold=0.9, n_clusters=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def dedup_cap_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap-audit side table for the dedup guards: what did
     max_bucket_size / max_doc_freq silently discard? One row per guard
@@ -869,6 +887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_clusters_documents": dedup_cc_clusters_documents,
         "embedding_near_dups": embedding_near_dups,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
+        "semantic_dedup_documents": semantic_dedup_documents,
         "dedup_cap_lineage": dedup_cap_lineage,
         "dup_span_stats_documents": dup_span_stats_documents,
         "stratified_sample_documents": stratified_sample_documents,
@@ -1527,6 +1546,15 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups_lsh": _golden_values_sql(
             "embedding_lsh_golden.json",
             [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine", "DOUBLE")],
+        ),
+        "semantic_dedup_documents": _golden_values_sql(
+            "semantic_dedup_golden.json",
+            [
+                ("cluster", "INTEGER"),
+                ("id_a", "BIGINT"),
+                ("id_b", "BIGINT"),
+                ("cosine", "DOUBLE"),
+            ],
         ),
         "ann_cosine_lsh_top10": _golden_values_sql(
             "ann_lsh_golden.json",

@@ -912,3 +912,81 @@ def embedding_near_dup_pairs_blocked(
     return out.where(F.col("id_a") != F.col("id_b")).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine")
     )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+    centroids: "np.ndarray | None" = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): coarse-cluster the embeddings, then mine EXACT
+    cosine near-dup pairs only within each cluster — total work drops
+    from O(n^2) to ~O(n^2 / n_clusters) and each cluster's GEMM is one
+    local numpy call inside applyInPandas. Cross-cluster pairs are
+    missed by construction (the method's stated approximation; clones
+    sit in the same cluster because assignment is cosine-based).
+
+    Clustering reuses the deterministic data-sampled IVF quantizer
+    (operators/similarity.py — no Lloyd iterations, so the whole
+    operator is a pure function of the data and golden-oracle-able).
+    ``max_cluster_size`` guards the per-cluster O(m^2): oversized
+    clusters (a degenerate centroid attracting everything) are dropped
+    whole, mirroring the LSH bucket caps; count them via
+    `semantic_dedup_dropped_clusters` if the audit matters.
+    Returns (cluster, id_a, id_b, cosine) with id_a < id_b.
+    """
+    from deidentify_spark.operators.similarity import ivf_assign_udf, ivf_centroids
+
+    c = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_clusters, id_col, vec_col)
+    )
+    assign = ivf_assign_udf(c)
+    with_c = emb.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    )
+
+    out_schema = (
+        "cluster int, id_a long, id_b long, cosine double"
+    )
+
+    def mine(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2 or m > max_cluster_size:
+            return pd.DataFrame(
+                {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
+            ).astype({"cluster": "int32", "id_a": "int64", "id_b": "int64",
+                      "cosine": "float64"})
+        mat = np.stack(pdf[vec_col].map(
+            lambda v: np.asarray(v, dtype=np.float32)
+        ).to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat = mat / norms
+        sims = mat @ mat.T
+        iu = np.triu_indices(m, 1)
+        keep = sims[iu] >= threshold
+        ids = pdf[id_col].to_numpy()
+        a = ids[iu[0][keep]]
+        b = ids[iu[1][keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame(
+            {
+                "cluster": np.full(lo.shape, int(pdf["cluster"].iloc[0]),
+                                   dtype="int32"),
+                "id_a": lo.astype("int64"),
+                "id_b": hi.astype("int64"),
+                # float64 rounding AFTER float32 cosine, matching the
+                # blocked-GEMM operator's convention
+                "cosine": np.round(sims[iu][keep].astype("float64"), 4),
+            }
+        )
+
+    return with_c.groupBy("cluster").applyInPandas(mine, out_schema)

@@ -182,3 +182,16 @@ def test_decontaminate_eval_side_broadcasts(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_dup_span_survives_single_huge_doc(spark):
+    # a 200k-word doc (pathological page) must stream through the gram
+    # machinery without a per-row blowup: its grams are one array cell
+    # (~1.6 MB of hashes), then explode to rows
+    huge = " ".join(f"w{i % 5000}" for i in range(200_000))
+    rows = [(1, "s", huge), (2, "s", _words("z", 10)), (3, "s", _words("z", 10))]
+    out = {r["doc_id"]: r for r in dup_span_stats(_docs(spark, rows), k=10).collect()}
+    # the huge doc repeats its 5000-word vocabulary cycle -> internal
+    # duplicate spans are expected; the planted pair must still be found
+    assert out[2]["n_dup_spans"] == 1 and out[3]["n_dup_spans"] == 1
+    assert 1 in out  # cycle repeats mark the huge doc too

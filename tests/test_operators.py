@@ -519,3 +519,47 @@ def test_dedup_cap_lineage_counts(spark):
     assert mh.n_pairs_dropped >= 10
     none = minhash_lsh_dropped_buckets(df, max_bucket_size=1000).head()
     assert (none.n_buckets_dropped, none.n_pairs_dropped) == (0, 0)
+
+
+def test_semantic_dedup_subset_and_recall(spark):
+    """SemDeDup pairs are a SUBSET of the exact all-pairs result (the
+    within-cluster restriction only removes pairs), and on planted clone
+    clusters recall stays high because a clone pair lands in one cluster
+    (assignment is cosine-based, clones are near-identical)."""
+    from deidentify_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        semantic_dedup_pairs,
+    )
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(
+        spark, n_base=200, n_clones=40, dim=32, seed=11, partitions=4
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semantic_dedup_pairs(
+            emb, threshold=0.9, n_clusters=8
+        ).collect()
+    }
+    assert sem <= exact, "semantic pairs must be a subset of exact pairs"
+    assert exact, "planted clones must produce exact pairs"
+    recall = len(sem) / len(exact)
+    assert recall >= 0.8, (recall, len(sem), len(exact))
+
+
+def test_semantic_dedup_deterministic_and_capped(spark):
+    from deidentify_spark.operators.dedup import semantic_dedup_pairs
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(
+        spark, n_base=100, n_clones=20, dim=16, seed=3, partitions=4
+    )
+    a = sorted(map(tuple, semantic_dedup_pairs(emb, 0.9, 4).collect()))
+    b = sorted(map(tuple, semantic_dedup_pairs(emb, 0.9, 4).collect()))
+    assert a == b
+    # a cap of 1 drops every cluster -> no pairs, no crash
+    assert semantic_dedup_pairs(emb, 0.9, 4, max_cluster_size=1).count() == 0
