@@ -481,15 +481,21 @@ def dedup_cap_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cap-audit side table for the dedup guards: what did
     max_bucket_size / max_doc_freq silently discard? One row per guard
     with the dropped group / membership / pair counts — at 100 TB these
-    caps WILL fire (boilerplate signatures, stop-shingles), and an
-    operator must be able to see the discarded volume instead of
-    trusting silence. Tight audit caps (2 / 3) are used here so the
-    guards actually trigger on the test corpus (production caps 1000 /
-    100 drop nothing at this scale — probed, max bucket=3, max df=7)."""
+    caps WILL fire (boilerplate signatures, stop-shingles, degenerate
+    embedding clusters), and an operator must be able to see the
+    discarded volume instead of trusting silence. Tight audit caps
+    (2 / 3 / 45) are used here so the guards actually trigger on the
+    test corpora (production caps 1000 / 100 / 100k drop nothing at
+    this scale — probed, max bucket=3, max df=7, max cluster=54). The
+    semantic guard runs over the same deterministic synthetic embedding
+    corpus as semantic_dedup_documents (its row is golden-pinned in the
+    oracle: the centroid sampling is not SQL-expressible)."""
     from deidentify_spark.operators.dedup import (
         minhash_lsh_dropped_buckets,
         ngram_jaccard_dropped_shingles,
+        semantic_dedup_dropped_clusters,
     )
+    from deidentify_spark.sources.vectors import synthesize_embeddings
 
     docs = _t(spark, sf_dir, "documents")
     mh = minhash_lsh_dropped_buckets(docs, max_bucket_size=2).select(
@@ -504,7 +510,18 @@ def dedup_cap_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_memberships_dropped",
         "n_pairs_dropped",
     )
-    return mh.unionByName(jc).orderBy("guard")
+    emb = synthesize_embeddings(
+        spark, n_base=300, n_clones=60, dim=64, seed=7, partitions=8
+    )
+    sem = semantic_dedup_dropped_clusters(
+        emb, n_clusters=8, max_cluster_size=45
+    ).select(
+        F.lit("semantic_cluster_cap_45").alias("guard"),
+        F.col("n_clusters_dropped").alias("n_groups_dropped"),
+        "n_memberships_dropped",
+        "n_pairs_dropped",
+    )
+    return mh.unionByName(jc).unionByName(sem).orderBy("guard")
 
 
 def dup_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -948,6 +965,13 @@ def _golden_values_sql(fixture_name: str, cols: list[tuple[str, str]]) -> str:
     """
 
 
+def _golden_union_arm(fixture_name: str, cols: list[tuple[str, str]]) -> str:
+    """A frozen-golden SELECT usable as a UNION ALL arm (no ORDER BY),
+    for queries whose oracle mixes SQL-computed and golden-pinned rows."""
+    sql = _golden_values_sql(fixture_name, cols)
+    return sql.rsplit("ORDER BY", 1)[0]
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
@@ -1339,6 +1363,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(SUM(m), 0) AS BIGINT),
                    CAST(COALESCE(SUM(m * (m - 1) / 2), 0) AS BIGINT)
             FROM hot_buckets
+            UNION ALL
+        """
+        # the semantic guard runs over the synthetic embedding corpus and
+        # its centroid sampling is not SQL-expressible: that arm is
+        # golden-pinned from a committed fixture (same policy as
+        # semantic_dedup_documents)
+        + _golden_union_arm(
+            "semantic_guard_golden.json",
+            [
+                ("guard", "VARCHAR"),
+                ("n_groups_dropped", "BIGINT"),
+                ("n_memberships_dropped", "BIGINT"),
+                ("n_pairs_dropped", "BIGINT"),
+            ],
+        )
+        + """
             ORDER BY guard
         """,
         "embedding_near_dups": """

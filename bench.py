@@ -262,13 +262,12 @@ def main() -> None:
         return float(out.stdout.strip().splitlines()[-1])
 
     # Per-trial pairing: all legs of a trial run back-to-back so ratios
-    # can be taken under the same machine conditions. Two estimators are
-    # reported: per-leg MIN across trials (primary — co-tenant
-    # interference on this shared box only ever INFLATES a leg, measured
-    # swinging local[8] 12.4->22.0s, so the min approximates the
-    # uncontended capability a dedicated cluster would deliver; the same
-    # doctrine as timeit's min-of-repeats) and the median of per-trial
-    # ratios (secondary, kept for round-over-round comparability).
+    # can be taken under the same machine conditions (co-tenant
+    # interference measured swinging local[8] 12.4->22.0s). Throughputs
+    # report the best leg across trials (timeit's min-of-repeats);
+    # efficiency RATIOS are computed within a trial and the best and
+    # median per-trial ratios are reported — see the estimator block
+    # below.
     # Default 2 trials keeps the full run inside ~15 min (the 300k-doc
     # scaling pair doubled per-trial cost); set 3+ for tighter numbers.
     trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
@@ -307,16 +306,25 @@ def main() -> None:
     def _best(key: str) -> float:
         return max(t[key] for t in per_trial)  # throughputs: best leg
 
-    # primary estimator: best (least-interfered) leg per parallelism
+    # Throughput headline: best (least-interfered) leg per parallelism —
+    # co-tenant interference on this box only ever INFLATES a leg, so the
+    # best leg approximates uncontended capability (timeit's min-of-repeats
+    # doctrine). Scaling efficiency, by contrast, is a RATIO and must be
+    # taken within one trial so numerator and denominator saw the same
+    # machine conditions: the primary north-rule estimator is the best
+    # per-trial PAIRED ratio (max over trials of thr_8/thr_2/4), never a
+    # cross-trial best-hi over best-lo, which no actual back-to-back run
+    # achieved. Median-of-paired-ratios is kept alongside for
+    # round-over-round comparability.
     thr_lo = _best("thr_lo")
     thr_hi = _best("thr_hi")
-    efficiency = thr_hi / (thr_lo * ratio)
+    efficiency = _best("eff_raw")
     hw_scaling = _best("hw_hi") / (_best("hw_lo") * ratio)
-    eff_normalized = min(efficiency / hw_scaling, 1.0) if hw_scaling > 0 else 0.0
+    eff_normalized = _best("eff_vs_hw")
     hw = {lo: _best("hw_lo"), CPUS: _best("hw_hi")}
     thr_2 = _best("thr_2")
     thr_8 = _best("thr_8")
-    eff_linear = thr_8 / (thr_2 * 4)
+    eff_linear = _best("eff_2_to_8")  # best per-trial paired ratio
 
     result = {
         "metric": "pipeline docs/sec end-to-end (langid+quality+perplexity+scrub)",
@@ -346,7 +354,17 @@ def main() -> None:
             "n_trials": trials,
         },
     }
-    print(json.dumps(result))
+    # Full result (incl. the bulky per-query shuffle-byte dict) goes to a
+    # file; the single printed line stays compact so the driver's tail
+    # capture always parses (BENCH_r03 had "parsed": null when the
+    # shuffle metrics pushed the one line past the capture window).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        "w",
+    ) as f:
+        json.dump(result, f, indent=1)
+    compact = {k: v for k, v in result.items() if k != "shuffle_bytes"}
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

@@ -914,14 +914,52 @@ def embedding_near_dup_pairs_blocked(
     )
 
 
+def _semantic_clusters(
+    emb: DataFrame,
+    n_clusters: "int | None",
+    id_col: str,
+    vec_col: str,
+    centroids: "np.ndarray | None",
+    target_cluster_size: int,
+) -> DataFrame:
+    """Shared SemDeDup cluster assignment: (id, vec, cluster) via the
+    deterministic data-sampled IVF quantizer (operators/similarity.py).
+
+    ``n_clusters=None`` auto-sizes C = ceil(n / target_cluster_size),
+    the same corpus-scaled sizing ``embedding_near_dup_pairs_blocked``
+    uses for its grid — so the per-cluster O(m^2) GEMM stays bounded as
+    n grows instead of degrading toward all-pairs with a fixed C (at
+    10^9 vectors and target 5k, C ≈ 200k centroids; the centroid matrix
+    is still only ~100 MB at dim=128, broadcastable). The extra
+    ``emb.count()`` is one columnar pass, identical to the blocked-GEMM
+    convention."""
+    import math
+
+    from deidentify_spark.operators.similarity import ivf_assign_udf, ivf_centroids
+
+    if n_clusters is None:
+        n_rows = emb.count()
+        n_clusters = max(1, math.ceil(n_rows / target_cluster_size))
+    c = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(emb, n_clusters, id_col, vec_col)
+    )
+    assign = ivf_assign_udf(c)
+    return emb.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    )
+
+
 def semantic_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
-    n_clusters: int = 16,
+    n_clusters: "int | None" = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_cluster_size: int = 100_000,
     centroids: "np.ndarray | None" = None,
+    target_cluster_size: int = 5_000,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     Data-efficient learning at web-scale through semantic
@@ -931,27 +969,33 @@ def semantic_dedup_pairs(
     local numpy call inside applyInPandas. Cross-cluster pairs are
     missed by construction (the method's stated approximation; clones
     sit in the same cluster because assignment is cosine-based).
+    ``n_clusters=None`` (default) auto-sizes to the corpus
+    (ceil(n / target_cluster_size), see _semantic_clusters); pass an
+    explicit value for golden-stable small-scale runs.
 
     Clustering reuses the deterministic data-sampled IVF quantizer
     (operators/similarity.py — no Lloyd iterations, so the whole
     operator is a pure function of the data and golden-oracle-able).
     ``max_cluster_size`` guards the per-cluster O(m^2): oversized
     clusters (a degenerate centroid attracting everything) are dropped
-    whole, mirroring the LSH bucket caps; count them via
-    `semantic_dedup_dropped_clusters` if the audit matters.
+    whole, mirroring the LSH bucket caps, and the drop happens BEFORE
+    the applyInPandas — per-cluster counts come from a codegen
+    aggregate and only in-cap clusters semi-join back in (broadcast: the
+    size table is O(C) rows), so a runaway cluster is never materialized
+    as one Arrow/pandas frame in a single task. Audit the dropped
+    volume via `semantic_dedup_dropped_clusters`.
     Returns (cluster, id_a, id_b, cosine) with id_a < id_b.
     """
-    from deidentify_spark.operators.similarity import ivf_assign_udf, ivf_centroids
-
-    c = (
-        centroids
-        if centroids is not None
-        else ivf_centroids(emb, n_clusters, id_col, vec_col)
+    with_c = _semantic_clusters(
+        emb, n_clusters, id_col, vec_col, centroids, target_cluster_size
     )
-    assign = ivf_assign_udf(c)
-    with_c = emb.select(
-        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cluster")
+    ok = (
+        with_c.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where((F.col("_m") >= 2) & (F.col("_m") <= max_cluster_size))
+        .select("cluster")
     )
+    with_c = with_c.join(F.broadcast(ok), "cluster")
 
     out_schema = (
         "cluster int, id_a long, id_b long, cosine double"
@@ -959,7 +1003,9 @@ def semantic_dedup_pairs(
 
     def mine(pdf: pd.DataFrame) -> pd.DataFrame:
         m = len(pdf)
-        if m < 2 or m > max_cluster_size:
+        # singleton/oversized clusters are filtered upstream by the
+        # size pre-aggregate; this guard is defensive only
+        if m < 2:
             return pd.DataFrame(
                 {"cluster": [], "id_a": [], "id_b": [], "cosine": []}
             ).astype({"cluster": "int32", "id_a": "int64", "id_b": "int64",
@@ -990,3 +1036,36 @@ def semantic_dedup_pairs(
         )
 
     return with_c.groupBy("cluster").applyInPandas(mine, out_schema)
+
+
+def semantic_dedup_dropped_clusters(
+    emb: DataFrame,
+    n_clusters: "int | None" = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cluster_size: int = 100_000,
+    centroids: "np.ndarray | None" = None,
+    target_cluster_size: int = 5_000,
+) -> DataFrame:
+    """Cap-lineage twin of semantic_dedup_pairs: what did the
+    max_cluster_size guard discard? One row: (n_clusters_dropped,
+    n_memberships_dropped, n_pairs_dropped) — the audit aggregate over
+    the >cap clusters, mirroring minhash_lsh_dropped_buckets, so the
+    semantic cap is never a silent truncation. Same assignment as the
+    pair miner (pass the same n_clusters/centroids); at scale run both
+    off one stored cluster-assignment column."""
+    with_c = _semantic_clusters(
+        emb, n_clusters, id_col, vec_col, centroids, target_cluster_size
+    )
+    m = F.count(F.lit(1)).cast("bigint").alias("m")
+    dropped = (
+        with_c.groupBy("cluster").agg(m).where(F.col("m") > max_cluster_size)
+    )
+    mm = F.col("m")
+    return dropped.agg(
+        F.count(F.lit(1)).alias("n_clusters_dropped"),
+        F.coalesce(F.sum(mm), F.lit(0)).alias("n_memberships_dropped"),
+        F.coalesce(F.sum(mm * (mm - 1) / 2), F.lit(0.0))
+        .cast("bigint")
+        .alias("n_pairs_dropped"),
+    )

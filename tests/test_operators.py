@@ -563,3 +563,82 @@ def test_semantic_dedup_deterministic_and_capped(spark):
     assert a == b
     # a cap of 1 drops every cluster -> no pairs, no crash
     assert semantic_dedup_pairs(emb, 0.9, 4, max_cluster_size=1).count() == 0
+
+
+def test_semantic_dedup_dropped_clusters_audit(spark):
+    """The max_cluster_size drop is audited, not silent: the twin
+    aggregate reports exactly the clusters/memberships/pairs the cap
+    discarded, and the pair miner + audit twin partition the work
+    (in-cap pairs mined, over-cap volume counted)."""
+    from deidentify_spark.operators.dedup import (
+        _semantic_clusters,
+        semantic_dedup_dropped_clusters,
+        semantic_dedup_pairs,
+    )
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    emb = synthesize_embeddings(
+        spark, n_base=100, n_clones=20, dim=16, seed=3, partitions=4
+    )
+    n = emb.count()
+    # cap=1 drops every cluster whole: memberships == corpus size
+    d = semantic_dedup_dropped_clusters(emb, n_clusters=4, max_cluster_size=1).head()
+    assert d.n_clusters_dropped == 4
+    assert d.n_memberships_dropped == n
+    sizes = [
+        r["count"]
+        for r in _semantic_clusters(emb, 4, "vec_id", "embedding", None, 5000)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    ]
+    assert d.n_pairs_dropped == sum(m * (m - 1) // 2 for m in sizes)
+    # a generous cap drops nothing
+    none = semantic_dedup_dropped_clusters(
+        emb, n_clusters=4, max_cluster_size=100_000
+    ).head()
+    assert (none.n_clusters_dropped, none.n_memberships_dropped) == (0, 0)
+    # partition property: cap between min and max cluster size -> the
+    # miner emits only in-cap clusters, the audit counts the rest
+    cap = sorted(sizes)[1]
+    mined_clusters = {
+        r["cluster"]
+        for r in semantic_dedup_pairs(emb, 0.0, 4, max_cluster_size=cap)
+        .select("cluster")
+        .distinct()
+        .collect()
+    }
+    over = semantic_dedup_dropped_clusters(emb, n_clusters=4, max_cluster_size=cap).head()
+    assert over.n_clusters_dropped == sum(1 for m in sizes if m > cap)
+    assert len(mined_clusters) == sum(1 for m in sizes if 2 <= m <= cap)
+
+
+def test_semantic_dedup_autosized_clusters(spark):
+    """n_clusters=None scales C with the corpus (ceil(n/target)), so
+    per-cluster GEMM work stays bounded as n grows: 4x the vectors at
+    the same target yields 4x the clusters with similar max cluster
+    size, not 4x-larger clusters."""
+    from deidentify_spark.operators.dedup import _semantic_clusters
+    from deidentify_spark.sources.vectors import synthesize_embeddings
+
+    maxes = {}
+    for n_base, n_clones in [(160, 40), (640, 160)]:
+        emb = synthesize_embeddings(
+            spark, n_base=n_base, n_clones=n_clones, dim=16, seed=3, partitions=4
+        )
+        n = n_base + n_clones
+        sizes = [
+            r["count"]
+            for r in _semantic_clusters(
+                emb, None, "vec_id", "embedding", None, 100
+            )
+            .groupBy("cluster")
+            .count()
+            .collect()
+        ]
+        assert len(sizes) == -(-n // 100)  # ceil(n / target)
+        maxes[n] = max(sizes)
+    # bounded per-cluster work: max cluster stays near the target at
+    # both scales instead of growing with n (measured 108 / 124)
+    assert maxes[800] <= 2 * maxes[200]
+    assert all(m <= 200 for m in maxes.values()), maxes

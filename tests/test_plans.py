@@ -267,3 +267,19 @@ def test_decontaminate_plan_broadcasts_eval_grams(spark):
     plan = _plan(entry_mod.decontaminate_documents(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_cap_filters_before_pandas(spark):
+    """The max_cluster_size guard must act BEFORE applyInPandas: a
+    degenerate cluster attracting ~everything would otherwise OOM on
+    Arrow materialization before any in-UDF size check could run. The
+    plan therefore shows the in-cap cluster set broadcast-joined
+    against the assignments upstream of the single
+    FlatMapGroupsInPandas, never a sort-merge join."""
+    plan = _plan(entry_mod.semantic_dedup_documents(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the size filter feeding the join is a codegen aggregate over the
+    # assignment, not a second pandas stage
+    assert plan.count("FlatMapGroupsInPandas") == 1
