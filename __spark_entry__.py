@@ -1460,7 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences_documents": r"""
             WITH toks AS (
                 SELECT doc_id, source,
-                       CASE WHEN trim(text) = '' THEN 1 ELSE
+                       CASE WHEN trim(text) = '' THEN 0 ELSE
                          len(regexp_split_to_array(lower(trim(text)), '\s+'))
                        END::BIGINT AS n_tokens
                 FROM documents

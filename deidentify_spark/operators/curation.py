@@ -190,8 +190,11 @@ def pack_sequences(
     """
     from deidentify_spark.functions.text_stats import RE2_WS_CLASS
 
-    n_tokens = F.size(
-        F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
+    # F.split('') yields [''] (size 1); empty/whitespace-only docs must
+    # count 0 tokens — the convention token_counts_documents uses — or a
+    # phantom token shifts every later doc's start offset in the stratum
+    n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+"))
     ).cast("bigint")
     w = (
         Window.partitionBy(strata_col)

@@ -266,7 +266,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_doc_freq: int | None = None,
+    max_doc_freq: int = 100,
     cap_strategy: str = "window",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle equi-join (no cross join).
@@ -281,10 +281,12 @@ def ngram_jaccard_pairs(
     is bounded at O(n_shingles * max_doc_freq^2 / 2) instead of quadratic
     in the hottest group. Near-dup pairs lose almost no signal: a shingle
     shared by thousands of docs carries ~zero Jaccard information anyway.
-    Without it (None) semantics are the classic textbook Jaccard — fine
-    for bounded corpora, a scale-killer on the open web.
+    The cap is mandatory on this surface; the classic uncapped textbook
+    self-join (a scale-killer on the open web) lives in
+    ``_ngram_jaccard_pairs_textbook`` as test-oracle material only — the
+    same demotion the cartesian embedding form got.
 
-    With a cap, the plan is a JOIN-FREE linear chain (each stage consumed
+    The plan is a JOIN-FREE linear chain (each stage consumed
     exactly once — Spark does not reuse exchanges across self-join
     branches, so the join formulation recomputes the shingle table 4x):
     shingles -> doc-frequency cap -> per-doc set size annotation (rides
@@ -303,9 +305,6 @@ def ngram_jaccard_pairs(
       prefer it when the shingle table is materialized (checkpointed
       100 TB runs), since lazily it recomputes the shingle explode.
 
-    Without a cap (None) semantics are the classic textbook Jaccard via
-    shingle self-join — fine for bounded corpora where a shingle group
-    can be large but total work is known small.
     """
     from pyspark.sql.window import Window
 
@@ -323,54 +322,72 @@ def ngram_jaccard_pairs(
         .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
         .distinct()
     )
-    if max_doc_freq is not None:
-        if cap_strategy == "window":
-            w = Window.partitionBy("shingle")
-            sh = (
-                sh.withColumn("_df", F.count(F.lit(1)).over(w))
-                .where(F.col("_df") <= max_doc_freq)
-                .drop("_df")
-            )
-        elif cap_strategy == "antijoin":
-            hot = (
-                sh.groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .where(F.col("_df") > max_doc_freq)
-                .select("shingle")
-            )
-            sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-        else:
-            raise ValueError(f"unknown cap_strategy: {cap_strategy!r}")
-        # join-free pair generation: set sizes ride along, each shingle
-        # group (<= max_doc_freq docs) streams its C(m,2) pairs
-        sh = sh.withColumn(
-            "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    if cap_strategy == "window":
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= max_doc_freq)
+            .drop("_df")
         )
-        grouped = sh.groupBy("shingle").agg(
-            F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds")
+    elif cap_strategy == "antijoin":
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_doc_freq)
+            .select("shingle")
         )
-        pairs = _emit_bucket_pairs(
-            grouped,
-            "ds",
-            f"x.{id_col} as doc_a, y.{id_col} as doc_b, "
-            "x.n_sh as n_a, y.n_sh as n_b",
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        raise ValueError(f"unknown cap_strategy: {cap_strategy!r}")
+    # join-free pair generation: set sizes ride along, each shingle
+    # group (<= max_doc_freq docs) streams its C(m,2) pairs
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    grouped = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds")
+    )
+    pairs = _emit_bucket_pairs(
+        grouped,
+        "ds",
+        f"x.{id_col} as doc_a, y.{id_col} as doc_b, "
+        "x.n_sh as n_a, y.n_sh as n_b",
+    )
+    common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                4,
+            ),
         )
-        common = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
-            F.count(F.lit(1)).alias("n_common")
-        )
-        return (
-            common.withColumn(
-                "jaccard",
-                F.round(
-                    F.col("n_common")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                    4,
-                ),
-            )
-            .where(F.col("jaccard") >= threshold)
-            .select("doc_a", "doc_b", "jaccard")
-        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
 
+
+def _ngram_jaccard_pairs_textbook(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TEST-ORACLE ONLY — the classic uncapped textbook Jaccard via
+    shingle self-join. Unbounded in the hottest shingle group
+    (quadratic blow-up on open-web stop-shingles), so it must never be
+    registered as a driver query or used on a materialized 100-TB run;
+    tests use it as ground truth for the capped operator, the same role
+    the cartesian form plays for the blocked-GEMM embedding dedup."""
+    sh = (
+        word_shingles(df, n, text_col, id_col, distinct=False)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

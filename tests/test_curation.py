@@ -144,6 +144,21 @@ def test_pack_sequences_strata_independent(spark):
     assert all(r["n_docs"] == 2 and r["n_tokens"] == 6 for r in out)
 
 
+def test_pack_sequences_empty_doc_counts_zero_tokens(spark):
+    """Empty / whitespace-only docs are 0 tokens (the convention
+    token_counts uses) — F.split('') would otherwise count a phantom
+    token and shift every later doc's start offset in the stratum."""
+    rows = [(0, "s", "w w w w"), (1, "s", ""), (2, "s", "   "),
+            (3, "s", "w w w w")]
+    out = pack_sequences(_docs(spark, rows), budget=8).orderBy("chunk_id").collect()
+    # 4 + 0 + 0 + 4 tokens -> exactly one full chunk holding all 4 docs
+    # (empty here = SQL trim semantics, ASCII spaces only — tab-edged
+    # text keeps its empty split tokens per the ws-parity convention)
+    assert [(r["chunk_id"], r["n_docs"], r["n_tokens"]) for r in out] == [
+        (0, 4, 8)
+    ]
+
+
 # ---------------------------------------------------------- decontamination
 
 def test_decontaminate_flags_overlap(spark):

@@ -37,14 +37,15 @@ def _score(split: str):
 
 
 def test_langid_clean_out_of_generator_accuracy():
-    # measured 54/54 post-widening; gate leaves one-miss headroom
+    # measured 54/54 post-widening; 53/54 ~= 0.98 leaves exactly
+    # one-miss headroom for future pool churn
     ok, n, misses = _score("clean")
-    assert ok / n >= 0.96, misses
+    assert ok / n >= 0.98, misses
 
 
 def test_langid_hard_cases_accuracy():
     """Code-mixed, very short, and close-pair (es/pt, nl/de) texts: the
-    centroid model legitimately struggles here; gate at 0.7 and keep the
+    centroid model legitimately struggles here; gate at 0.8 and keep the
     specific confusions documented in BASELINE.md."""
     # measured 9/10 post-widening; gate leaves one-miss headroom
     ok, n, misses = _score("hard")

@@ -4,6 +4,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from deidentify_spark.operators.dedup import (
+    _ngram_jaccard_pairs_textbook,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_lsh_candidates,
@@ -49,7 +50,7 @@ def test_exact_dedup(corpus):
 
 def test_minhash_lsh_finds_near_dups(corpus):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(corpus, n=3, k=8, bands=4).collect()}
-    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(corpus, n=3, threshold=0.5).collect()}
+    truth = {(r.doc_a, r.doc_b) for r in _ngram_jaccard_pairs_textbook(corpus, n=3, threshold=0.5).collect()}
     assert truth, "corpus must contain true near-dup pairs"
     recall = len(pairs & truth) / len(truth)
     assert recall >= 0.9, (recall, len(pairs), len(truth))
@@ -269,9 +270,9 @@ def test_ngram_jaccard_doc_freq_cap(spark):
     rows += [(100, hot + " alpha beta gamma delta epsilon"),
              (101, hot + " alpha beta gamma delta zeta")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+    from deidentify_spark.operators.dedup import _ngram_jaccard_pairs_textbook
 
-    uncapped = ngram_jaccard_pairs(df, n=3, threshold=0.15)
+    uncapped = _ngram_jaccard_pairs_textbook(df, n=3, threshold=0.15)
     capped = ngram_jaccard_pairs(df, n=3, threshold=0.15, max_doc_freq=10)
     un_pairs = {(r.doc_a, r.doc_b) for r in uncapped.collect()}
     cap_pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}

@@ -142,6 +142,29 @@ def test_jaccard_capped_plan_is_join_free(spark):
     assert plan.count("documents.parquet") == 1, plan[:3000]
 
 
+def test_jaccard_antijoin_strategy_plan(spark):
+    """cap_strategy='antijoin' — the recommended form for materialized
+    100-TB shingle tables — must implement the stop-shingle cap as a
+    BROADCAST anti-join of the tiny hot set (map-side-combinable count,
+    no single-task concentration), never a shuffled join of the full
+    shingle table against itself."""
+    from deidentify_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    df = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.6, max_doc_freq=100, cap_strategy="antijoin"
+    )
+    df.count()  # AQE: final plan materializes after execution
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    for join in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, join
+    # results identical to the window strategy (same cap semantics)
+    win = ngram_jaccard_pairs(docs, n=3, threshold=0.6, max_doc_freq=100)
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, win.collect()))
+
+
 def test_minhash_no_shingle_distinct_shuffle(spark):
     """Minhash signatures aggregate straight off the exploded shingles
     (min() is duplicate-insensitive): exactly ONE exchange below the
