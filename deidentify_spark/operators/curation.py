@@ -250,3 +250,70 @@ def decontaminate_flags(
         F.count(F.lit(1)).alias("n_contaminated_grams"),
         F.count_distinct("gh").alias("n_distinct_eval_grams_hit"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_dup: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level duplicated-line removal (the RefinedWeb/C4
+    boilerplate pass): any line occurring >= ``min_dup`` times anywhere
+    in the corpus ("click here to subscribe", cookie banners, nav bars)
+    is removed from EVERY document containing it — remove-all, not
+    keep-first: a line that common is boilerplate, not content.
+
+    Returns the input plus ``n_lines``, ``n_lines_removed``, and
+    ``cleaned_text`` (original byte-identical when nothing was removed).
+
+    Scale shape — the key property is that document TEXT never rides a
+    shuffle and is never rebuilt by a collect_list:
+    1. lines explode to (id, pos, xxhash64(line)) — 8-byte hashes, no
+       strings (jaccard's convention, same collision math);
+    2. one window count over the hash finds duplicated occurrences
+       (linear per hot line, the accepted jaccard-window trade);
+    3. removal positions fold to one small (id, drop_pos array) row per
+       AFFECTED doc only (the sort-agg fallback for collect_set runs
+       over just the duplicated-line rows, not the corpus);
+    4. a left join + ``F.filter(split(text), (x, i) -> ...)`` rewrites
+       affected docs in place from the original column — untouched docs
+       keep their text without ever being exploded back together.
+    """
+    from pyspark.sql.window import Window
+
+    arr = F.split(F.col(text_col), line_sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(arr).alias("pos", "line"),
+    ).select(id_col, "pos", F.xxhash64("line").alias("lh"))
+    w = Window.partitionBy("lh")
+    dup_occ = (
+        lines.withColumn("_c", F.count(F.lit(1)).over(w))
+        .where(F.col("_c") >= min_dup)
+        .drop("_c")
+    )
+    removals = dup_occ.groupBy(id_col).agg(
+        F.collect_set("pos").alias("_drop_pos"),
+        F.count(F.lit(1)).cast("int").alias("n_lines_removed"),
+    )
+    out = df.join(removals, id_col, "left")
+    drop_pos = F.coalesce("_drop_pos", F.array().cast("array<int>"))
+    cleaned = F.array_join(
+        F.filter(arr, lambda x, i: ~F.array_contains(drop_pos, i)),
+        line_sep,
+    )
+    return (
+        out.withColumn("n_lines", F.size(arr).cast("int"))
+        .withColumn(
+            "n_lines_removed", F.coalesce("n_lines_removed", F.lit(0))
+        )
+        .withColumn(
+            "cleaned_text",
+            F.when(F.col("n_lines_removed") == 0, F.col(text_col)).otherwise(
+                cleaned
+            ),
+        )
+        .drop("_drop_pos")
+    )

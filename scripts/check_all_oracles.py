@@ -38,6 +38,8 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     names = sys.argv[1:] or list(e.queries())
+    full_sweep = not sys.argv[1:]
+    results: dict[str, dict] = {}
     # oracle_sql() eagerly renders every golden fixture; a single missing
     # fixture must fail the affected queries, not abort the whole sweep
     try:
@@ -51,6 +53,8 @@ def main() -> int:
         try:
             sdf = e.queries()[name](spark, sf).toPandas()
             if name not in oracles:
+                results[name] = {"mode": "rows_only", "rows": len(sdf),
+                                 "ok": True}
                 print(f"{name}: rows-only ({len(sdf)} rows)")
                 continue
             odf = con.execute(oracles[name]).df()
@@ -72,11 +76,29 @@ def main() -> int:
                 and {s[c].dtype.kind, o[c].dtype.kind} <= {"i", "u", "f"}
             ]
             assert not kind_mismatch, f"dtype-kind (driver hash) {kind_mismatch}"
+            results[name] = {"mode": "value_checked", "rows": len(s),
+                             "ok": True}
             print(f"{name}: OK ({len(s)} rows)")
         except Exception as ex:  # noqa: BLE001
             failed.append(name)
+            results[name] = {"mode": "value_checked", "ok": False,
+                             "err": f"{type(ex).__name__}: {str(ex)[:300]}"}
             print(f"{name}: FAIL {type(ex).__name__}: {str(ex)[:300]}")
     spark.stop()
+    if full_sweep:
+        # committed artifact covering the FULL registry — the driver's
+        # own sweep records only the first 50 queries
+        import json
+
+        out_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": sf, "n_queries": len(names),
+                       "n_green": len(names) - len(failed),
+                       "queries": results}, f, indent=1)
+        print(f"wrote {out_path}")
     print(f"\n{len(names) - len(failed)}/{len(names)} green; failed: {failed}")
     return 1 if failed else 0
 

@@ -210,3 +210,37 @@ def test_dup_span_survives_single_huge_doc(spark):
     # duplicate spans are expected; the planted pair must still be found
     assert out[2]["n_dup_spans"] == 1 and out[3]["n_dup_spans"] == 1
     assert 1 in out  # cycle repeats mark the huge doc too
+
+
+# ---------------------------------------------------------------- line dedup
+
+def test_line_dedup_removes_corpus_duplicates(spark):
+    from deidentify_spark.operators.curation import line_dedup
+
+    boiler = "click here to subscribe"
+    rows = [
+        (0, "s", f"unique zero\n{boiler}\nreal content zero"),
+        (1, "s", f"{boiler}\nunique one"),
+        (2, "s", "all original\ncontent here"),
+        (3, "s", f"repeated inside\nrepeated inside\n{boiler}"),
+    ]
+    out = {r.doc_id: r for r in line_dedup(_docs(spark, rows), min_dup=2).collect()}
+    assert out[0].cleaned_text == "unique zero\nreal content zero"
+    assert out[0].n_lines == 3 and out[0].n_lines_removed == 1
+    assert out[1].cleaned_text == "unique one"
+    # untouched doc: byte-identical pass-through
+    assert out[2].cleaned_text == rows[2][2] and out[2].n_lines_removed == 0
+    # within-doc repeats count toward the corpus threshold; remove-all
+    assert out[3].cleaned_text == "" and out[3].n_lines_removed == 3
+
+
+def test_line_dedup_threshold_and_empty(spark):
+    from deidentify_spark.operators.curation import line_dedup
+
+    rows = [(0, "s", "a\nb"), (1, "s", "a\nc"), (2, "s", "")]
+    out3 = {r.doc_id: r for r in line_dedup(_docs(spark, rows), min_dup=3).collect()}
+    assert all(r.n_lines_removed == 0 for r in out3.values())
+    assert out3[0].cleaned_text == "a\nb"
+    out2 = {r.doc_id: r for r in line_dedup(_docs(spark, rows), min_dup=2).collect()}
+    assert out2[0].cleaned_text == "b" and out2[1].cleaned_text == "c"
+    assert out2[2].cleaned_text == "" and out2[2].n_lines == 1
