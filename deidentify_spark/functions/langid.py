@@ -44,6 +44,19 @@ _MAX_CHARS = 4096
 
 _MODEL: tuple[np.ndarray, list[str]] | None = None
 
+# Close-pair tie-break (round 4): 1-3-gram centroids genuinely struggle
+# on de/nl and es/pt at short lengths — the one remaining stress miss
+# was a 7-word de sentence scored 0.0125 under nl. A 4-gram-only
+# re-score separates these pairs cleanly (measured 30/30 on every
+# close-pair stress case, clean and hard), so when the top-2 classes
+# form a close pair AND the cosine margin is inside _PAIR_MARGIN, the
+# 4-gram scorer decides between just those two. Margin-gated to keep
+# the blast radius tiny: generator-domain argmax changes re-measured at
+# 0 of 6,000 docs (BASELINE.md round-4 notes), goldens untouched.
+_CLOSE_PAIRS = (("de", "nl"), ("es", "pt"))
+_PAIR_MARGIN = 0.05
+_MODEL4: dict[str, np.ndarray] | None = None
+
 
 def _codepoints(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
@@ -100,6 +113,58 @@ def _get_model() -> tuple[np.ndarray, list[str]]:
     return _MODEL
 
 
+def _gram4_hashes(c: np.ndarray) -> np.ndarray:
+    """Hashed char 4-gram bucket ids (same multiplier scheme as
+    _ngram_hashes; separate feature space used only by the close-pair
+    tie-break)."""
+    if c.size < 4:
+        return np.empty(0, dtype=np.uint64)
+    return ((((c[:-3] * _M1 + c[1:-2] * _M2) * _M1 + c[2:-1]) * _M2)
+            + c[3:] * _M1) & _MASK
+
+
+def _get_model4() -> dict[str, np.ndarray]:
+    """4-gram centroids for the close-pair languages only, fitted
+    lazily with the same per-text-mean weighting as the main model."""
+    global _MODEL4
+    if _MODEL4 is None:
+        from deidentify_spark.sources.textpools import (
+            LANGID_TRAINING,
+            LANGID_TRAINING_EXTRA,
+        )
+
+        cents: dict[str, np.ndarray] = {}
+        for pair in _CLOSE_PAIRS:
+            for lang in pair:
+                vecs = []
+                for t in [LANGID_TRAINING[lang]] + list(
+                    LANGID_TRAINING_EXTRA.get(lang, [])
+                ):
+                    c = _codepoints(t.lower())
+                    idx = _gram4_hashes(c).astype(np.int64)
+                    v = np.bincount(idx, minlength=_DIM).astype(np.float32)
+                    n = np.linalg.norm(v)
+                    vecs.append(v / n if n > 0 else v)
+                m = np.mean(vecs, axis=0)
+                cents[lang] = m / (np.linalg.norm(m) or 1.0)
+        _MODEL4 = cents
+    return _MODEL4
+
+
+def _rescore_close_pair(text: str, a: str, b: str) -> str | None:
+    """4-gram cosine vote between the two close-pair languages; None
+    when the text has no 4-grams (defer to the main model)."""
+    cents = _get_model4()
+    c = _codepoints(text[:_MAX_CHARS].lower())
+    idx, cnt = np.unique(_gram4_hashes(c), return_counts=True)
+    if idx.size == 0:
+        return None
+    idx = idx.astype(np.int64)
+    cnt = cnt.astype(np.float32)
+    cnt /= np.sqrt((cnt * cnt).sum())
+    return a if cents[a][idx] @ cnt >= cents[b][idx] @ cnt else b
+
+
 def _sparse_counts(s: str) -> tuple[np.ndarray, np.ndarray]:
     """(bucket indices, counts) of the hashed n-grams — sparse form."""
     c = _codepoints(s[:_MAX_CHARS].lower())
@@ -142,9 +207,25 @@ def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
         p = e / e.sum(axis=1, keepdims=True)
         best = p.argmax(axis=1)
         bconf = p[np.arange(p.shape[0]), best]
-        for k, j in enumerate(np.flatnonzero(valid)):
+        # close-pair tie-break: only rows whose top-2 is a close pair
+        # within _PAIR_MARGIN re-score (rare — per-row Python cost is
+        # bounded by the margin gate; everything else stays batched)
+        order2 = np.argsort(s, axis=1)[:, -2:]
+        lang_ix = {l: i for i, l in enumerate(langs)}
+        pair_set = {frozenset(pr) for pr in _CLOSE_PAIRS}
+        valid_rows = np.flatnonzero(valid)
+        for k, j in enumerate(valid_rows):
             preds[j] = langs[int(best[k])]
             confs[j] = float(bconf[k])
+            hi, lo = int(order2[k, 1]), int(order2[k, 0])
+            if (
+                frozenset((langs[hi], langs[lo])) in pair_set
+                and s[k, hi] - s[k, lo] < _PAIR_MARGIN
+            ):
+                win = _rescore_close_pair(texts[j], langs[hi], langs[lo])
+                if win is not None and win != preds[j]:
+                    preds[j] = win
+                    confs[j] = float(p[k, lang_ix[win]])
     return preds, confs
 
 

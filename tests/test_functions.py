@@ -230,7 +230,20 @@ def test_langid_batched_softmax_bit_identical():
             e = np.exp((scores - scores.max()) * L._SOFTMAX_TEMP)
             p = e / e.sum()
             best = int(np.argmax(p))
-            preds.append(langs[best]); confs.append(float(p[best]))
+            pred, conf = langs[best], float(p[best])
+            # same close-pair 4-gram tie-break as predict_batch (scalar
+            # form), so batch-vs-scalar bit-identity covers it too
+            o = np.argsort(scores)
+            hi, lo = int(o[-1]), int(o[-2])
+            if (
+                frozenset((langs[hi], langs[lo]))
+                in {frozenset(pr) for pr in L._CLOSE_PAIRS}
+                and scores[hi] - scores[lo] < L._PAIR_MARGIN
+            ):
+                win = L._rescore_close_pair(t, langs[hi], langs[lo])
+                if win is not None and win != pred:
+                    pred, conf = win, float(p[langs.index(win)])
+            preds.append(pred); confs.append(conf)
         return preds, confs
 
     cfg = QualityConfig()
