@@ -66,6 +66,8 @@ BENCH_QUERIES = [
     "sessionization_events",
     "text_stats_documents",
     "ann_cosine_top10",
+    "toxicity_scrub_documents",
+    "line_dedup_documents",
     "scrub_documents",
 ]
 
