@@ -615,6 +615,61 @@ def toxicity_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup (operators/dedup.py
+    exact_dedup_incremental): the even-id docs play the already-
+    processed corpus (their md5s are 'the store'), the full table plays
+    the new crawl batch — kept rows are batch-canonical docs whose
+    content hash the store has never seen. The production shape at
+    10^12 docs: snapshot N+1 anti-joins the stored hash table instead
+    of re-deduping the world."""
+    from deidentify_spark.operators.dedup import exact_dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("content_md5")
+    ).distinct()
+    kept, _ = exact_dedup_incremental(docs, seen)
+    return kept.select("doc_id", "content_md5").orderBy("doc_id")
+
+
+def pii_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side PII triage counters (functions/pii_stats.py): raw
+    value-pattern hits per doc for emails/phones/SSNs/cards — the cheap
+    whole-stage-codegen survey pass that routes crawl slices to the
+    expensive Python scrub. PII is planted deterministically from
+    doc_id so the detectors fire; the DuckDB twin interpolates the SAME
+    pattern constants (oracle/patterns.py), making this a cross-engine
+    regex-semantics check, not just a count check."""
+    from deidentify_spark.functions.pii_stats import pii_hit_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.example"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.lit(" call (555) 123-4567 or +1 555 987 6543"),
+            )
+            .otherwise(F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111")),
+        ),
+    )
+    return (
+        pii_hit_counts(planted)
+        .select("doc_id", "n_emails", "n_phones", "n_ssns", "n_cards")
+        .orderBy("doc_id")
+    )
+
+
 def host_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL/domain gate (functions/urls.py): C4/RefinedWeb-style domain
     blocklist + per-host doc counts (the skew observability view).
@@ -969,9 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts_documents": distinct_counts_documents,
         "daily_order_momentum": daily_order_momentum,
         "union_by_name_documents": union_by_name_documents,
-        "grouping_sets_orders": grouping_sets_orders,
         "json_events_avg_by_type": json_events_avg_by_type,
-        "monthly_order_volume": monthly_order_volume,
         "events_tumbling_10min": events_tumbling_10min,
         "dedup_exact_documents": dedup_exact_documents,
         "text_stats_documents": text_stats_documents,
@@ -991,6 +1044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "toxicity_scrub_documents": toxicity_scrub_documents,
         "host_stats_documents": host_stats_documents,
         "line_dedup_documents": line_dedup_documents,
+        "pii_stats_documents": pii_stats_documents,
+        "dedup_incremental_documents": dedup_incremental_documents,
         "sessionization_events": sessionization_events,
         "salted_docs_by_source": salted_docs_by_source,
         "group_profile_docs_by_source": group_profile_docs_by_source,
@@ -1009,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
         "sliding_window_events": sliding_window_events,
+        "monthly_order_volume": monthly_order_volume,
+        "grouping_sets_orders": grouping_sets_orders,
         "scrub_documents": scrub_documents,
     }
 
@@ -1057,8 +1114,54 @@ def _golden_union_arm(fixture_name: str, cols: list[tuple[str, str]]) -> str:
     return sql.rsplit("ORDER BY", 1)[0]
 
 
+def _pii_stats_sql() -> str:
+    """DuckDB twin of pii_stats_documents, interpolating the SAME
+    RE2 pattern constants the Spark side counts with — a cross-engine
+    regex-semantics check (the four value patterns are lookaround-free
+    RE2; see functions/pii_stats.py)."""
+    from deidentify_spark.functions.pii_stats import PII_VALUE_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::INT AS n_{name}"
+        for name, pat in PII_VALUE_PATTERNS.items()
+    )
+    return f"""
+            WITH planted AS (
+                SELECT doc_id, text ||
+                       CASE WHEN doc_id % 3 = 0
+                            THEN ' reach user' || doc_id::VARCHAR
+                                 || '@corp.example'
+                            WHEN doc_id % 3 = 1
+                            THEN ' call (555) 123-4567 or +1 555 987 6543'
+                            ELSE ' ssn 123-45-6789 card 4111 1111 1111 1111'
+                       END AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   {counts}
+            FROM planted ORDER BY doc_id
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "pii_stats_documents": _pii_stats_sql(),
+        "dedup_incremental_documents": """
+            WITH hashed AS (
+                SELECT doc_id, md5(text) AS content_md5 FROM documents
+            ), canon AS (
+                SELECT content_md5, MIN(doc_id) AS doc_id
+                FROM hashed GROUP BY content_md5
+            ), seen AS (
+                SELECT DISTINCT md5(text) AS content_md5
+                FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT c.doc_id, c.content_md5
+            FROM canon c
+            WHERE NOT EXISTS (SELECT 1 FROM seen s
+                              WHERE s.content_md5 = c.content_md5)
+            ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

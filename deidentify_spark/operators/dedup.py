@@ -42,6 +42,41 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(w, id_col, "left_semi")
 
 
+def exact_dedup_incremental(
+    df: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW crawl slice against an already-processed corpus —
+    the production shape at 10^12 docs: snapshot N+1 never re-reads or
+    re-hashes snapshot N, it anti-joins the stored content-hash table.
+
+    ``seen_hashes`` is a DataFrame with one ``content_md5`` string
+    column (the store). Returns ``(kept, new_hashes)``: ``kept`` is the
+    batch-internal canonical rows whose hash is not in the store (plus
+    a ``content_md5`` column); ``new_hashes`` is exactly the hashes of
+    ``kept`` — append them to the store after the batch commits, and
+    the operator is resume-safe (re-running the same batch yields the
+    empty set).
+
+    Scale shape: both the batch groupBy and the anti-join key on
+    content_md5. Store the hash table BUCKETED by content_md5 (64-file
+    wave-write convention, pipeline/checkpoint.py) and the anti-join
+    co-locates: the store side is read bucket-aligned and never
+    shuffles; only the new batch (tiny next to the corpus) moves.
+    """
+    hashed = df.withColumn("content_md5", F.md5(F.col(text_col)))
+    canon = hashed.groupBy("content_md5").agg(F.min(id_col).alias(id_col))
+    batch_canon = hashed.join(
+        canon, [id_col, "content_md5"], "left_semi"
+    )
+    kept = batch_canon.join(
+        seen_hashes.select("content_md5"), "content_md5", "left_anti"
+    )
+    return kept, kept.select("content_md5")
+
+
 def _hash60(col: Column) -> Column:
     """First 15 hex chars of md5 as a bigint (60 bits, DuckDB-replicable:
     conv(substring(md5(x),1,15),16,10))."""

@@ -643,3 +643,32 @@ def test_semantic_dedup_autosized_clusters(spark):
     # both scales instead of growing with n (measured 108 / 124)
     assert maxes[800] <= 2 * maxes[200]
     assert all(m <= 200 for m in maxes.values()), maxes
+
+
+def test_exact_dedup_incremental(spark):
+    """Snapshot-N+1 dedup against a stored hash table: previously-seen
+    texts drop, the batch still dedups internally, and re-running the
+    same batch after appending its hashes yields the empty set
+    (resume-safety)."""
+    from deidentify_spark.operators.dedup import exact_dedup_incremental
+
+    old = spark.createDataFrame(
+        [(0, "seen before"), (1, "also seen")], "doc_id long, text string"
+    )
+    seen = old.select(F.md5("text").alias("content_md5"))
+    batch = spark.createDataFrame(
+        [
+            (10, "seen before"),     # in the store -> dropped
+            (11, "brand new"),
+            (12, "brand new"),       # batch-internal dup -> one kept
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    kept, new_hashes = exact_dedup_incremental(batch, seen)
+    assert {r.doc_id for r in kept.collect()} == {11, 13}
+    assert new_hashes.count() == 2
+    # append and re-run: nothing new
+    seen2 = seen.unionByName(new_hashes)
+    kept2, _ = exact_dedup_incremental(batch, seen2)
+    assert kept2.count() == 0
