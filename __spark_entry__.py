@@ -615,6 +615,34 @@ def toxicity_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def quality_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 quality metric columns (functions/quality.py
+    quality_metrics) value-checked against a DuckDB twin — the fused
+    Arrow stage's parity with these Columns is pinned by unit tests;
+    this query pins the Column semantics against a third engine.
+    doc_id%5==0 docs get two identical planted lines so dup_line_frac
+    exercises a nonzero path (the corpus itself is single-line)."""
+    from deidentify_spark.functions.quality import QualityConfig, quality_metrics
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat("text", F.lit("\nduplicate line\nduplicate line")),
+        ).otherwise(F.col("text")),
+    )
+    m = quality_metrics(F.col("text"), QualityConfig())
+    return docs.select(
+        "doc_id",
+        m["word_count"].alias("word_count"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["stopword_count"].alias("stopword_count"),
+        m["dup_line_frac"].alias("dup_line_frac"),
+        m["alpha_word_frac"].alias("alpha_word_frac"),
+    ).orderBy("doc_id")
+
+
 def dedup_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental exact dedup (operators/dedup.py
     exact_dedup_incremental): the even-id docs play the already-
@@ -1019,7 +1047,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders_status_priority": rollup_orders_status_priority,
         "window_top3_customers_per_nation": window_top3_customers_per_nation,
         "window_customer_running_spend": window_customer_running_spend,
-        "percentile_order_value_by_priority": percentile_order_value_by_priority,
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "distinct_counts_documents": distinct_counts_documents,
         "daily_order_momentum": daily_order_momentum,
@@ -1046,6 +1073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": line_dedup_documents,
         "pii_stats_documents": pii_stats_documents,
         "dedup_incremental_documents": dedup_incremental_documents,
+        "quality_stats_documents": quality_stats_documents,
         "sessionization_events": sessionization_events,
         "salted_docs_by_source": salted_docs_by_source,
         "group_profile_docs_by_source": group_profile_docs_by_source,
@@ -1065,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_documents": approx_distinct_documents,
         "sliding_window_events": sliding_window_events,
         "monthly_order_volume": monthly_order_volume,
+        "percentile_order_value_by_priority": percentile_order_value_by_priority,
         "grouping_sets_orders": grouping_sets_orders,
         "scrub_documents": scrub_documents,
     }
@@ -1114,6 +1143,67 @@ def _golden_union_arm(fixture_name: str, cols: list[tuple[str, str]]) -> str:
     return sql.rsplit("ORDER BY", 1)[0]
 
 
+def _quality_stats_sql() -> str:
+    """DuckDB twin of quality_stats_documents, interpolating the same
+    stopword list and punctuation class as QualityConfig. ASCII-corpus
+    note: Spark uses (?U)\\s where the twin uses RE2 \\s — identical on
+    this corpus; the Unicode-whitespace edge cases are pinned Spark-side
+    by tests/test_ws_parity.py instead."""
+    from deidentify_spark.functions.quality import QualityConfig
+
+    cfg = QualityConfig()
+    stops = ", ".join(f"'{s}'" for s in cfg.stopwords)
+    # the Column path's end-punctuation class, SQL-escaped
+    punct = "[\"''.,;:!?()\\[\\]{}<>_#-]"
+    return f"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN text || chr(10) || 'duplicate line'
+                                 || chr(10) || 'duplicate line'
+                            ELSE text END AS t
+                FROM documents
+            ), base AS (
+                SELECT doc_id, t,
+                       list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                                   w -> w != '') AS words,
+                       list_filter(regexp_split_to_array(t, chr(10)),
+                                   ln -> trim(ln) != '') AS lines
+                FROM planted
+            ), m AS (
+                SELECT doc_id,
+                       len(words) AS word_count,
+                       length(regexp_replace(t, '\\s', '', 'g'))::DOUBLE
+                           AS non_ws,
+                       length(t) - length(replace(t, '#', '')) AS n_hash,
+                       length(replace(t, '...', chr(1)))
+                           - length(replace(t, '...', ''))
+                           + length(t) - length(replace(t, '…', ''))
+                           AS n_ellipsis,
+                       len(list_filter(words, w -> list_contains(
+                           [{stops}],
+                           lower(regexp_replace(w,
+                               '(^{punct}+)|({punct}+$)', '', 'g'))
+                       ))) AS stopword_count,
+                       1.0 - len(list_distinct(lines))::DOUBLE
+                             / greatest(len(lines), 1) AS dup_line_frac,
+                       len(list_filter(words,
+                           w -> regexp_matches(w, '\\p{{L}}')))::DOUBLE
+                           AS n_alpha_words
+                FROM base
+            )
+            SELECT doc_id, word_count,
+                   non_ws / greatest(word_count, 1) AS mean_word_len,
+                   (n_hash + n_ellipsis)::DOUBLE
+                       / greatest(word_count, 1) AS symbol_ratio,
+                   stopword_count,
+                   dup_line_frac,
+                   n_alpha_words / greatest(word_count, 1)
+                       AS alpha_word_frac
+            FROM m ORDER BY doc_id
+    """
+
+
 def _pii_stats_sql() -> str:
     """DuckDB twin of pii_stats_documents, interpolating the SAME
     RE2 pattern constants the Spark side counts with — a cross-engine
@@ -1146,6 +1236,7 @@ def _pii_stats_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     return {
         "pii_stats_documents": _pii_stats_sql(),
+        "quality_stats_documents": _quality_stats_sql(),
         "dedup_incremental_documents": """
             WITH hashed AS (
                 SELECT doc_id, md5(text) AS content_md5 FROM documents

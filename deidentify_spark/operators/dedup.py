@@ -899,6 +899,8 @@ def embedding_near_dup_pairs_blocked(
     import math
 
     if n_blocks is None:
+        # one eager columnar count (metadata-only on parquet sources);
+        # pass n_blocks explicitly to skip it on expensive upstreams
         n_rows = emb.count()
         n_blocks = max(1, math.ceil(n_rows / rows_per_block))
     B = n_blocks
