@@ -66,7 +66,7 @@ def test_scrub_nulls_dropped_and_masks_kept(spark):
 
 
 def test_mask_linear_on_pathological_inputs(spark):
-    """Regex-edit gate (see .claude/skills/verify): the alternation is
+    """Regex-edit gate (repo rule, see tests/test_oracle_perf.py): the alternation is
     literal words + \\b — must stay linear on a long digit blob and a
     200-word letter chain, not backtrack."""
     blob = "1" * 1_000_000
