@@ -615,6 +615,29 @@ def toxicity_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def minhash_incremental_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH (operators/dedup.py
+    minhash_lsh_candidates_incremental): even-id docs play the prior
+    snapshot (their persisted band membership is 'the store'), odd-id
+    docs the new batch — emitted candidates are exactly the one-shot
+    operator's pairs involving >=1 new doc (within-batch via the
+    join-free bucket chain, cross-snapshot via the (band, sig)
+    equi-join against the store)."""
+    from deidentify_spark.operators.dedup import (
+        _minhash_band_membership,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    store = _minhash_band_membership(old, 3, 8, 4, "text", "doc_id")
+    cand, _ = minhash_lsh_candidates_incremental(
+        new, store, max_bucket_size=1000
+    )
+    return cand.orderBy("doc_a", "doc_b")
+
+
 def quality_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 quality metric columns (functions/quality.py
     quality_metrics) value-checked against a DuckDB twin — the fused
@@ -1049,7 +1072,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_customer_running_spend": window_customer_running_spend,
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "distinct_counts_documents": distinct_counts_documents,
-        "daily_order_momentum": daily_order_momentum,
         "union_by_name_documents": union_by_name_documents,
         "json_events_avg_by_type": json_events_avg_by_type,
         "events_tumbling_10min": events_tumbling_10min,
@@ -1073,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": line_dedup_documents,
         "pii_stats_documents": pii_stats_documents,
         "dedup_incremental_documents": dedup_incremental_documents,
+        "minhash_incremental_documents": minhash_incremental_documents,
         "quality_stats_documents": quality_stats_documents,
         "sessionization_events": sessionization_events,
         "salted_docs_by_source": salted_docs_by_source,
@@ -1094,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sliding_window_events": sliding_window_events,
         "monthly_order_volume": monthly_order_volume,
         "percentile_order_value_by_priority": percentile_order_value_by_priority,
+        "daily_order_momentum": daily_order_momentum,
         "grouping_sets_orders": grouping_sets_orders,
         "scrub_documents": scrub_documents,
     }
@@ -1497,6 +1521,64 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.6
+            ORDER BY doc_a, doc_b
+        """,
+        "minhash_incremental_documents": """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), mh AS (
+                SELECT doc_id,
+                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
+                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
+                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
+                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
+                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
+                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
+                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
+                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
+                UNION ALL
+                SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            ), newm AS (
+                SELECT * FROM bands WHERE doc_id % 2 = 1
+            ), oldm AS (
+                SELECT * FROM bands WHERE doc_id % 2 = 0
+            ), newk AS (
+                -- within-batch cap: NEW bucket size only (the batch is
+                -- small; the store cap is separate), as Spark
+                SELECT doc_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+                FROM newm QUALIFY bsz <= 1000
+            ), oldk AS (
+                -- store cap: signatures with >cap STORE members drop
+                SELECT doc_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+                FROM oldm QUALIFY bsz <= 1000
+            )
+            SELECT DISTINCT doc_a, doc_b FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM newk a JOIN newk b
+                  ON a.band = b.band AND a.sig = b.sig
+                     AND a.doc_id < b.doc_id
+                UNION ALL
+                SELECT LEAST(n.doc_id, o.doc_id),
+                       GREATEST(n.doc_id, o.doc_id)
+                FROM newm n JOIN oldk o
+                  ON n.band = o.band AND n.sig = o.sig
+            )
             ORDER BY doc_a, doc_b
         """,
         "minhash_lsh_candidates_documents": """

@@ -243,6 +243,24 @@ def _minhash_buckets(
 ) -> DataFrame:
     """(band, sig, ds) bucket table shared by the candidate emitter and
     the cap-lineage aggregate — ds is the sorted member-id array."""
+    banded = _minhash_band_membership(df, n, k, bands, text_col, id_col)
+    return banded.groupBy("band", "sig").agg(
+        F.sort_array(F.collect_list(id_col)).alias("ds")
+    )
+
+
+def _minhash_band_membership(
+    df: DataFrame,
+    n: int,
+    k: int,
+    bands: int,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(id, band, sig) band-signature membership — the per-doc form the
+    bucket table groups, and the STORED form for incremental runs (a
+    signature depends only on its own document, so memberships computed
+    per snapshot union into exactly the full-corpus membership)."""
     rows = k // bands
     # distinct=False: min() is duplicate-insensitive, and skipping the
     # distinct removes a full shuffle of shingle strings (identical
@@ -258,12 +276,76 @@ def _minhash_buckets(
         band_cols.append(
             F.struct(F.lit(b).alias("band"), F.concat_ws("_", *parts).alias("sig"))
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bs")
     ).select(id_col, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    return banded.groupBy("band", "sig").agg(
+
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int = 10000,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates for a NEW crawl batch against itself AND the
+    already-processed corpus — the snapshot-N+1 shape: prior snapshots
+    persist their (doc_id, band, sig) band membership
+    (_minhash_band_membership) instead of being re-shingled, and only
+    pairs involving a new document are emitted (old-old pairs were
+    mined in prior runs).
+
+    Returns ``(candidates, new_membership)``: append ``new_membership``
+    to the store after the batch commits and the operator is
+    resume-safe. Within-batch pairs use the join-free bucket chain
+    (identical to minhash_lsh_candidates); cross-snapshot pairs
+    equi-join the batch's memberships against the store on (band, sig)
+    — store the membership table BUCKETED by (band, sig) and that join
+    co-locates, so a 10^12-doc store never shuffles for a small batch.
+
+    ``max_bucket_size`` guards both sides: within-batch buckets over
+    the cap drop whole (same as the one-shot operator), and store
+    signatures whose membership exceeds the cap are anti-joined out
+    before the cross join (the degenerate-boilerplate signature that
+    would pair every new doc with millions of old ones). Union of
+    per-snapshot memberships == full-corpus membership (signatures are
+    per-doc), so incremental candidates == the one-shot operator's
+    pairs restricted to >=1 new id, pinned by test.
+    """
+    mem_new = _minhash_band_membership(new_df, n, k, bands, text_col, id_col)
+
+    within_buckets = mem_new.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list(id_col)).alias("ds")
     )
+    within = _emit_bucket_pairs(
+        within_buckets.where(F.size("ds") <= max_bucket_size),
+        "ds",
+        "x as doc_a, y as doc_b",
+    )
+
+    store_mem = store.select(id_col, "band", "sig")
+    hot = (
+        store_mem.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") > max_bucket_size)
+        .select("band", "sig")
+    )
+    safe_store = store_mem.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    nm = mem_new.select(
+        F.col(id_col).alias("_nid"), "band", "sig"
+    )
+    cross = (
+        nm.join(safe_store, ["band", "sig"])
+        .select(
+            F.least(F.col("_nid"), F.col(id_col)).alias("doc_a"),
+            F.greatest(F.col("_nid"), F.col(id_col)).alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+    )
+    return within.unionByName(cross).distinct(), mem_new
 
 
 def minhash_lsh_dropped_buckets(

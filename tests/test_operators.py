@@ -672,3 +672,38 @@ def test_exact_dedup_incremental(spark):
     seen2 = seen.unionByName(new_hashes)
     kept2, _ = exact_dedup_incremental(batch, seen2)
     assert kept2.count() == 0
+
+
+def test_minhash_incremental_matches_one_shot(spark, corpus):
+    """Incremental LSH == the one-shot operator's pairs restricted to
+    pairs involving at least one new doc (membership union property),
+    and re-running the batch after appending its membership changes
+    nothing."""
+    from deidentify_spark.operators.dedup import (
+        _minhash_band_membership,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    old = corpus.where(F.col("doc_id") % 2 == 0)
+    new = corpus.where(F.col("doc_id") % 2 == 1)
+    store = _minhash_band_membership(old, 3, 8, 4, "text", "doc_id")
+
+    cand, mem_new = minhash_lsh_candidates_incremental(new, store)
+    got = {(r.doc_a, r.doc_b) for r in cand.collect()}
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(corpus, n=3, k=8, bands=4).collect()
+    }
+    want = {(a, b) for a, b in full if a % 2 == 1 or b % 2 == 1}
+    assert got == want
+    assert want, "corpus must produce cross-snapshot candidates"
+    # some pairs must genuinely cross the snapshot boundary
+    assert any((a % 2) != (b % 2) for a, b in got)
+
+    # cap drops the degenerate store signature before the cross join
+    none_left, _ = minhash_lsh_candidates_incremental(
+        new, store, max_bucket_size=0
+    )
+    assert none_left.count() == 0
