@@ -939,6 +939,39 @@ def scrub_documents_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text extraction round trip, value-checked without an HTML
+    parser on the oracle side: render each document as a full page
+    JVM-side (entity-escaped body inside realistic chrome — head/style/
+    script/nav/footer the extractor must strip), run the Arrow extraction
+    UDF (functions/htmlx.py), and emit md5 of the result.  Extraction is
+    an exact identity on whitespace-normal text, so the DuckDB oracle is
+    simply ``md5(text)`` — any parsing, entity, suppression, or
+    normalization bug breaks the hash.  Map-only, no shuffle."""
+    from deidentify_spark.functions.htmlx import extract_text_column
+
+    docs = _t(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    esc = F.replace(esc, F.lit("\n"), F.lit("<br/>"))
+    html = F.concat(
+        F.lit(
+            '<!DOCTYPE html><html lang="en"><head><title>d</title>'
+            "<style>p{margin:0}</style><script>var x=1;</script></head>"
+            '<body><header><nav><a href="/">Home</a> | <a href="/about">About</a>'
+            "</nav></header><p>"
+        ),
+        esc,
+        F.lit('</p><footer>&copy; 2024 example &middot; legal</footer></body></html>'),
+    ).cast("binary")
+    return docs.select(
+        "doc_id",
+        F.md5(extract_text_column(html)).alias("extract_md5"),
+        F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def pipeline_lineage_synthetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full pipeline + lineage metrics over deterministic synthetic pages."""
     from deidentify_spark.pipeline.lineage import lineage_metrics
@@ -1103,7 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_scrub_customers": table_scrub_customers,
         "simhash_near_dups_documents": simhash_near_dups_documents,
         "winnowing_fingerprints_documents": winnowing_fingerprints_documents,
-        "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
+        "html_extract_digest": html_extract_digest,
         "ann_cosine_ivf_top10": ann_cosine_ivf_top10,
         "multimodal_decode_features": multimodal_decode_features,
         "langid_documents_counts": langid_documents_counts,
@@ -1111,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
         # ---- tail: redundant variants of families already value-checked
         # above (still green in CORRECTNESS_LOCAL.json every round)
+        "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1410,6 +1444,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups_documents": __import__(
             "deidentify_spark.operators.dedup", fromlist=["simhash_oracle_sql"]
         ).simhash_oracle_sql("documents", max_hamming=3, max_bucket_size=1000),
+        # Extraction is an exact identity on whitespace-normal text, so
+        # the oracle needs no HTML parser: if the Spark side's render ->
+        # parse -> strip -> decode round trip is correct, md5 matches.
+        "html_extract_digest": """
+            SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
         "percentile_order_value_by_priority": """
             SELECT o_orderpriority,
                    ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,

@@ -61,6 +61,13 @@ class PipelineConfig:
     toxicity_max_frac: float = 0.02
     toxicity_max_hits: int = 10
     toxicity_mask: bool = True
+    # Opt-in ingestion stage: populate ``text`` by extracting it from the
+    # raw ``html`` column (functions/htmlx.py) — the WARC-ingestion
+    # posture where no pre-extracted text exists. Default off: the
+    # BASELINE input already carries text, and the default plan must
+    # never read html (pinned by tests/test_plans.py
+    # test_pipeline_never_reads_html).
+    extract_from_html: bool = False
 
 
 def run_pipeline(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
@@ -69,9 +76,19 @@ def run_pipeline(pages: DataFrame, cfg: PipelineConfig) -> DataFrame:
     Returns one row per input doc with: bucket, lang_pred, lang_conf,
     perplexity, drop_reason (null = kept), keep, scrubbed_text, pii_hits.
     """
-    df = pages.select(
-        "url", "warc_ts", "text", "lang"
-    )  # html pruned at scan — never read
+    if cfg.extract_from_html:
+        from deidentify_spark.functions.htmlx import extract_text_column
+
+        # Ingestion mode: text is derived from html in the same narrow
+        # scan-side stage (one extra Arrow node, still no shuffle); html
+        # is dropped immediately after.
+        df = pages.select(
+            "url", "warc_ts", extract_text_column("html").alias("text"), "lang"
+        )
+    else:
+        df = pages.select(
+            "url", "warc_ts", "text", "lang"
+        )  # html pruned at scan — never read
 
     if cfg.repartition:
         df = df.repartition(cfg.repartition, F.xxhash64("url"))

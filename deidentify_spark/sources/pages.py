@@ -171,6 +171,62 @@ def _make_pii(r: random.Random) -> tuple[list[str], list[str], list[str]]:
     return sentences, kinds, values
 
 
+_NAV_WORDS = [
+    "Home", "About", "Products", "Contact", "Blog", "Careers", "Support", "Pricing",
+]
+_INLINE_TAGS = ["b", "em", "strong", "span"]
+
+
+def render_page_html(text: str, doc_id: int, host: int, r: random.Random) -> bytes:
+    """Render ``text`` as a realistic page whose extraction round-trips.
+
+    The page carries everything a real capture has that the extractor
+    (functions/htmlx.py) must strip — <head> with <style>/<script>, nav/
+    header/aside/footer chrome, comments, attributes, inline markup mid-
+    sentence, entity-escaped content — while the body text itself is
+    exactly ``text``: one <p> per line, entity-escaped, so
+    ``extract_html_text(html) == text`` byte-for-byte (pinned by
+    tests/test_htmlx.py over every generator category).  All rng draws
+    happen after every text/url/label draw, so enriching the markup never
+    shifts the rest of the document stream.
+    """
+    esc = _html_escape
+    title = f"p{doc_id}"
+    nav = " | ".join(
+        f'<a href="/{w.lower()}">{w}</a>' for w in r.sample(_NAV_WORDS, 3)
+    )
+    head = (
+        f"<head><title>{title}</title>"
+        f"<style>body{{margin:{r.randrange(4, 32)}px;font-family:serif}}</style>"
+        f'<script type="text/javascript">var pageId={doc_id};'
+        f'if(pageId&lt;0){{document.write("never")}}</script>'
+        "</head>"
+    )
+    paras = []
+    for ln in text.split("\n"):
+        e = esc(ln)
+        words = e.split(" ")
+        if len(words) > 3 and r.random() < 0.4:
+            j = r.randrange(len(words))
+            tag = _INLINE_TAGS[r.randrange(len(_INLINE_TAGS))]
+            words[j] = f"<{tag}>{words[j]}</{tag}>"
+            e = " ".join(words)
+        paras.append(f"<p>{e}</p>")
+    body = (
+        f"<header><h1>{esc(title)}</h1><nav>{nav}</nav></header>"
+        f"<!-- slot {r.randrange(1000)} -->"
+        f'<main id="content">{"".join(paras)}</main>'
+        f'<aside class="ad">Sponsored &mdash; limited offer {r.randrange(100)}</aside>'
+        f"<footer>&copy; 2024 host{host:04d}.example &middot; "
+        f'<a href="/privacy">Privacy</a></footer>'
+    )
+    return f'<!DOCTYPE html><html lang="en">{head}<body>{body}</body></html>'.encode()
+
+
+def _html_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
     """Generate one labeled page — pure function of (seed, doc_id, cfg)."""
     r = _rng_for(seed, doc_id)
@@ -281,7 +337,7 @@ def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
     host = int(_N_HOSTS * (r.random() ** _ZIPF_EXP))
     url = f"https://host{host:04d}.example/page/{doc_id:012d}"
     warc_ts = _BASE_TS + timedelta(seconds=(doc_id * 37) % 31_536_000)
-    html = f"<html><head><title>p{doc_id}</title></head><body>{text}</body></html>".encode()
+    html = render_page_html(text, doc_id, host, r)
 
     return {
         "doc_id": doc_id,
