@@ -939,6 +939,28 @@ def scrub_documents_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _page_html_expr(text_col: str = "text"):
+    """JVM-side page template: entity-escaped ``text_col`` inside
+    realistic chrome (head/style/script/nav/footer) that the extractor
+    (functions/htmlx.py) must strip.  Extraction of this html is exactly
+    the original text, which is what lets WARC/extraction queries be
+    value-checked by a plain ``md5(text)`` DuckDB oracle."""
+    esc = F.col(text_col)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    esc = F.replace(esc, F.lit("\n"), F.lit("<br/>"))
+    return F.concat(
+        F.lit(
+            '<!DOCTYPE html><html lang="en"><head><title>d</title>'
+            "<style>p{margin:0}</style><script>var x=1;</script></head>"
+            '<body><header><nav><a href="/">Home</a> | <a href="/about">About</a>'
+            "</nav></header><p>"
+        ),
+        esc,
+        F.lit('</p><footer>&copy; 2024 example &middot; legal</footer></body></html>'),
+    ).cast("binary")
+
+
 def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML -> text extraction round trip, value-checked without an HTML
     parser on the oracle side: render each document as a full page
@@ -951,24 +973,47 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from deidentify_spark.functions.htmlx import extract_text_column
 
     docs = _t(spark, sf_dir, "documents")
-    esc = F.col("text")
-    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
-        esc = F.replace(esc, F.lit(raw), F.lit(ent))
-    esc = F.replace(esc, F.lit("\n"), F.lit("<br/>"))
-    html = F.concat(
-        F.lit(
-            '<!DOCTYPE html><html lang="en"><head><title>d</title>'
-            "<style>p{margin:0}</style><script>var x=1;</script></head>"
-            '<body><header><nav><a href="/">Home</a> | <a href="/about">About</a>'
-            "</nav></header><p>"
-        ),
-        esc,
-        F.lit('</p><footer>&copy; 2024 example &middot; legal</footer></body></html>'),
-    ).cast("binary")
+    html = _page_html_expr("text")
     return docs.select(
         "doc_id",
         F.md5(extract_text_column(html)).alias("extract_md5"),
         F.length("text").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def warc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC sink + source round trip (sources/warc.py), value-checked
+    end-to-end: documents -> page html (JVM template) -> distributed
+    ``.warc.gz`` write (per-record gzip members, Common-Crawl layout) ->
+    binaryFile read + member parse -> html extraction -> md5 vs the
+    oracle's plain ``md5(text)``.  The timestamp column round-trips
+    through WARC-Date, checked as epoch seconds (a pure function of
+    doc_id on both sides).  Narrow both ways — the only exchange is the
+    fixed 4-way repartition that makes the file set deterministic."""
+    import shutil
+    import tempfile
+
+    from deidentify_spark.functions.htmlx import extract_text_column
+    from deidentify_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.repartition(4, "doc_id").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 37).alias("warc_ts"),
+        _page_html_expr("text").alias("html"),
+    )
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_warc_rt_{tag}")
+    shutil.rmtree(out, ignore_errors=True)  # stale part files would dup rows
+    write_warc(pages, out).collect()  # O(#files) manifest, not data
+
+    back = read_warc(spark, os.path.join(out, "*.warc.gz"))
+    return back.select(
+        F.substring("url", 7, 20).cast("bigint").alias("doc_id"),
+        F.md5(extract_text_column("html")).alias("extract_md5"),
+        F.col("warc_ts").cast("long").alias("ts_unix"),
     ).orderBy("doc_id")
 
 
@@ -1128,7 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": line_dedup_documents,
         "pii_stats_documents": pii_stats_documents,
         "dedup_incremental_documents": dedup_incremental_documents,
-        "minhash_incremental_documents": minhash_incremental_documents,
+        "warc_roundtrip_digest": warc_roundtrip_digest,
         "quality_stats_documents": quality_stats_documents,
         "sessionization_events": sessionization_events,
         "salted_docs_by_source": salted_docs_by_source,
@@ -1145,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: redundant variants of families already value-checked
         # above (still green in CORRECTNESS_LOCAL.json every round)
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
+        "minhash_incremental_documents": minhash_incremental_documents,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1449,6 +1495,11 @@ def oracle_sql() -> dict[str, str]:
         # parse -> strip -> decode round trip is correct, md5 matches.
         "html_extract_digest": """
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "warc_roundtrip_digest": """
+            SELECT doc_id, md5(text) AS extract_md5,
+                   CAST(1704067200 + doc_id * 37 AS BIGINT) AS ts_unix
             FROM documents ORDER BY doc_id
         """,
         "percentile_order_value_by_priority": """
