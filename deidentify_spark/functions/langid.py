@@ -13,7 +13,10 @@ centroid/nearest-class-mean model over hashed char 1-3-gram counts:
 * predict: cosine score against each centroid; confidence = softmax over
   scores with a fixed temperature.
 
-The Spark surface is a masked Arrow pandas UDF returning
+Languages whose script is unique among the supported set (zh/ar/ko/hi/
+el/he/th, plus the ja/zh Han split) are decided by a Unicode-block gate
+ahead of the model — see _script_gate below. The Spark surface is a
+masked Arrow pandas UDF returning
 struct<lang_pred:string, lang_conf:double>.
 """
 
@@ -174,6 +177,68 @@ def _sparse_counts(s: str) -> tuple[np.ndarray, np.ndarray]:
     return idx.astype(np.int64), cnt.astype(np.float32)
 
 
+# --------------------------------------------------------------------------
+# Script gate: languages whose writing system is unique among the
+# supported set are decided by Unicode-block statistics BEFORE the n-gram
+# model — the standard CLD-style shortcut, and the only sound way to
+# support them here at all (the centroid model is trained on Latin/
+# Cyrillic/Japanese pools; a zh/ar/ko/hi doc would otherwise be scored
+# against centroids that have never seen its codepoints). Han-script text
+# splits ja/zh by kana presence; Cyrillic stays in the model (ru is not
+# the only Cyrillic language, so script alone must not decide it).
+# Vectorized per doc: a handful of range comparisons on the already-
+# truncated codepoint array, cheaper than one n-gram hash pass.
+
+# (lang, [(lo, hi), ...]) — codepoint ranges, inclusive.
+_SCRIPT_RANGES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("hani", [(0x4E00, 0x9FFF), (0x3400, 0x4DBF)]),  # Han: ja/zh, split below
+    ("kana", [(0x3040, 0x309F), (0x30A0, 0x30FF)]),  # hiragana + katakana
+    ("ko", [(0xAC00, 0xD7AF), (0x1100, 0x11FF), (0x3130, 0x318F)]),
+    ("ar", [(0x0600, 0x06FF), (0x0750, 0x077F), (0x08A0, 0x08FF)]),
+    ("hi", [(0x0900, 0x097F)]),  # Devanagari (hi is the supported rep)
+    ("el", [(0x0370, 0x03FF), (0x1F00, 0x1FFF)]),
+    ("he", [(0x0590, 0x05FF)]),
+    ("th", [(0x0E00, 0x0E7F)]),
+]
+# Letters the n-gram model's training covers (denominator of the script
+# fraction): Latin + extensions, Cyrillic.
+_MODEL_LETTER_RANGES = [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F), (0x400, 0x4FF)]
+_SCRIPT_MIN_FRAC = 0.5
+# Japanese prose is ~25-40% kana; Chinese text has essentially none (the
+# odd loanword aside). 5% of Han+kana letters is a wide margin both ways.
+_KANA_MIN_FRAC = 0.05
+
+
+def _in_ranges(c: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
+    m = np.zeros(c.shape, dtype=bool)
+    for lo, hi in ranges:
+        m |= (c >= lo) & (c <= hi)
+    return m
+
+
+def _script_gate(c: np.ndarray) -> tuple[str, float] | None:
+    """(lang, conf) when a unique-script language dominates the letters;
+    None -> defer to the n-gram centroid model."""
+    counts = {name: int(_in_ranges(c, r).sum()) for name, r in _SCRIPT_RANGES}
+    script_total = sum(counts.values())
+    if script_total == 0:
+        return None
+    letters = script_total + int(_in_ranges(c, _MODEL_LETTER_RANGES).sum())
+    han_kana = counts["hani"] + counts["kana"]
+    best_name, best = max(
+        (("hani", han_kana), *((k, v) for k, v in counts.items() if k not in ("hani", "kana"))),
+        key=lambda kv: kv[1],
+    )
+    frac = best / letters
+    if frac <= _SCRIPT_MIN_FRAC:
+        return None
+    if best_name == "hani":
+        lang = "ja" if counts["kana"] / han_kana > _KANA_MIN_FRAC else "zh"
+    else:
+        lang = best_name
+    return lang, float(frac)
+
+
 def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
     """Predict (lang, confidence) for each text. Pure function.
 
@@ -187,17 +252,28 @@ def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
     n = len(texts)
     scores_all = np.zeros((n, len(langs)), dtype=np.float32)
     valid = np.zeros(n, dtype=bool)
+    preds: list[str] = ["und"] * n
+    confs: list[float] = [0.0] * n
     for j, t in enumerate(texts):
         if not t:
             continue
-        idx, cnt = _sparse_counts(t)
+        c = _codepoints(t[:_MAX_CHARS].lower())
+        if c.size == 0:
+            continue
+        gated = _script_gate(c)
+        if gated is not None:
+            # unique-script language: decided here, never reaches the
+            # centroid scoring or the softmax batch below
+            preds[j], confs[j] = gated
+            continue
+        idx, cnt = np.unique(_ngram_hashes(c), return_counts=True)
+        idx = idx.astype(np.int64)
+        cnt = cnt.astype(np.float32)
         norm = float(np.sqrt((cnt * cnt).sum()))
         if norm == 0.0:
             continue
         scores_all[j] = mat[:, idx] @ (cnt / norm)
         valid[j] = True
-    preds: list[str] = ["und"] * n
-    confs: list[float] = [0.0] * n
     if valid.any():
         # softmax/argmax batched across docs — row-wise elementwise ops
         # and 9-element reductions, bit-identical to the per-doc form

@@ -222,6 +222,10 @@ def test_langid_batched_softmax_bit_identical():
         for t in texts:
             if not t:
                 preds.append("und"); confs.append(0.0); continue
+            c = L._codepoints(t[: L._MAX_CHARS].lower())
+            gated = L._script_gate(c) if c.size else None
+            if gated is not None:  # unique-script languages bypass the model
+                preds.append(gated[0]); confs.append(gated[1]); continue
             idx, cnt = L._sparse_counts(t)
             norm = float(np.sqrt((cnt * cnt).sum()))
             if norm == 0.0:
