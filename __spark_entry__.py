@@ -981,6 +981,25 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def bloom_membership_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate (operators/membership.py): build the
+    bitmap from the first half of the corpus, probe every doc.  m=2048
+    is deliberately undersized so the oracle also value-checks the
+    false-POSITIVE path, not just the no-false-negative invariant (at
+    sf0.01 that is ~7 FP rows whose exact identity both engines must
+    agree on bit-for-bit).  Build: one bit_or groupBy of longs; probe:
+    broadcast single-row bitmap map + forall lambda — no shuffle."""
+    from deidentify_spark.operators.membership import bloom_build, bloom_maybe_seen
+
+    docs = _t(spark, sf_dir, "documents")
+    bloom = bloom_build(docs.where("doc_id < 250"), "text", m_bits=2048, k=3)
+    return (
+        bloom_maybe_seen(docs, bloom, "text", m_bits=2048, k=3)
+        .select("doc_id", "maybe_seen")
+        .orderBy("doc_id")
+    )
+
+
 def warc_roundtrip_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC sink + source round trip (sources/warc.py), value-checked
     end-to-end: documents -> page html (JVM template) -> distributed
@@ -1147,7 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_customers_without_orders": anti_customers_without_orders,
         "rollup_orders_status_priority": rollup_orders_status_priority,
         "window_top3_customers_per_nation": window_top3_customers_per_nation,
-        "window_customer_running_spend": window_customer_running_spend,
+        "bloom_membership_documents": bloom_membership_documents,
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "distinct_counts_documents": distinct_counts_documents,
         "union_by_name_documents": union_by_name_documents,
@@ -1191,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # above (still green in CORRECTNESS_LOCAL.json every round)
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "minhash_incremental_documents": minhash_incremental_documents,
+        "window_customer_running_spend": window_customer_running_spend,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1497,6 +1517,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
             FROM documents ORDER BY doc_id
         """,
+        "bloom_membership_documents": __import__(
+            "deidentify_spark.operators.membership", fromlist=["bloom_oracle_sql"]
+        ).bloom_oracle_sql("documents", "doc_id < 250", m_bits=2048, k=3),
         "warc_roundtrip_digest": """
             SELECT doc_id, md5(text) AS extract_md5,
                    CAST(1704067200 + doc_id * 37 AS BIGINT) AS ts_unix
