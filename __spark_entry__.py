@@ -981,6 +981,36 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def nb_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed trained-classifier operator (operators/classifier.py):
+    multinomial NB over hashed word uni+bigrams, trained IN the query on
+    the first half of the corpus (label: lang='en') and scored over all
+    docs.  The DuckDB oracle replicates the entire train+score closed
+    form — tokenization, hashing, Laplace weights, bias — so this value-
+    checks distributed model TRAINING, not just scoring: all 500 scores
+    must match to 4 decimals.  (The testdata lang tag is uncorrelated
+    with its shared-vocabulary text, so the learned model correctly
+    defaults to the prior — the oracle exercises the math; actual
+    quality-classification performance on a learnable label is pinned in
+    tests/test_classifier.py at ~0.85 held-out accuracy.)  Score rounded
+    to 4 to absorb summation order."""
+    from deidentify_spark.operators.classifier import nb_score, nb_train
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_is_en", F.col("lang") == F.lit("en")
+    )
+    weights, bias = nb_train(docs.where("doc_id < 250"), "_is_en")
+    return (
+        nb_score(docs, weights, bias)
+        .select(
+            "doc_id",
+            F.round("nb_score", 4).alias("nb_score"),
+            F.col("nb_score_pred").alias("nb_pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def bloom_membership_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership gate (operators/membership.py): build the
     bitmap from the first half of the corpus, probe every doc.  m=2048
@@ -1173,7 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_events_avg_by_type": json_events_avg_by_type,
         "events_tumbling_10min": events_tumbling_10min,
         "dedup_exact_documents": dedup_exact_documents,
-        "text_stats_documents": text_stats_documents,
+        "nb_classifier_documents": nb_classifier_documents,
         "ann_cosine_top10": ann_cosine_top10,
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
@@ -1211,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "minhash_incremental_documents": minhash_incremental_documents,
         "window_customer_running_spend": window_customer_running_spend,
+        "text_stats_documents": text_stats_documents,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1517,6 +1548,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
             FROM documents ORDER BY doc_id
         """,
+        "nb_classifier_documents": __import__(
+            "deidentify_spark.operators.classifier", fromlist=["nb_oracle_sql"]
+        ).nb_oracle_sql("documents", "doc_id < 250", "lang = 'en'"),
         "bloom_membership_documents": __import__(
             "deidentify_spark.operators.membership", fromlist=["bloom_oracle_sql"]
         ).bloom_oracle_sql("documents", "doc_id < 250", m_bits=2048, k=3),

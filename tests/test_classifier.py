@@ -1,0 +1,68 @@
+"""Trained NB quality classifier (operators/classifier.py).
+
+Measured behavior this suite pins: held-out accuracy ~0.85 overall on
+the synthetic label, with the LEXICAL defect classes (non-English,
+lorem, policy, bullet/symbol spam) at ~1.0 and the STRUCTURAL classes
+(too-short/too-long, duplicate lines, scrambled-word perplexity) near 0
+— a bag-of-ngrams model cannot see length or line structure, which is
+exactly why the pipeline keeps the heuristic rules alongside it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidentify_spark.operators.classifier import nb_score, nb_train
+
+LEXICAL = (
+    "non_english", "lorem_ipsum", "policy_phrase", "bullet_lines", "symbol_ratio",
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    from deidentify_spark.sources.pages import generate_pages
+
+    return (
+        generate_pages(spark, 4000, seed=51, partitions=8)
+        .select("doc_id", "text", F.col("expected_keep").alias("y"),
+                "expected_drop_reason")
+        .persist()
+    )
+
+
+def test_heldout_accuracy_and_class_profile(spark, pages):
+    w, b = nb_train(pages.where("doc_id < 3000"), "y")
+    w = w.persist()
+    scored = nb_score(pages.where("doc_id >= 3000"), w, b)
+    hit = (F.col("nb_score_pred") == F.col("y")).cast("double")
+    overall = scored.agg(F.avg(hit).alias("a")).collect()[0].a
+    assert overall >= 0.80, overall
+    per = {
+        r.expected_drop_reason: r.acc
+        for r in scored.groupBy("expected_drop_reason")
+        .agg(F.avg(hit).alias("acc"))
+        .collect()
+    }
+    assert per[None] >= 0.95  # clean docs kept
+    for cls in LEXICAL:
+        assert per[cls] >= 0.9, (cls, per[cls])
+
+
+def test_training_is_deterministic_across_partitioning(spark, pages):
+    train = pages.where("doc_id < 2000")
+    w1, _ = nb_train(train, "y")
+    w2, _ = nb_train(train.repartition(13), "y")
+    assert w1.exceptAll(w2).count() == 0
+    assert w2.exceptAll(w1).count() == 0
+
+
+def test_featureless_doc_scores_bias(spark, pages):
+    # null text yields ZERO feature rows (split(null) -> null array), so
+    # the left-join fallback must surface bias alone, not null/NaN
+    w, b = nb_train(pages.where("doc_id < 1000"), "y")
+    one = spark.createDataFrame([(99_999, None)], "doc_id long, text string")
+    got = nb_score(one, w, b).select("nb_score").collect()[0][0]
+    bias = b.collect()[0][0]
+    assert got == pytest.approx(bias)
