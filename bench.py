@@ -68,6 +68,9 @@ BENCH_QUERIES = [
     "ann_cosine_top10",
     "toxicity_scrub_documents",
     "line_dedup_documents",
+    "html_extract_digest",
+    "bloom_membership_documents",
+    "nb_classifier_documents",
     "scrub_documents",
 ]
 

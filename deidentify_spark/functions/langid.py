@@ -216,9 +216,19 @@ def _in_ranges(c: np.ndarray, ranges: list[tuple[int, int]]) -> np.ndarray:
     return m
 
 
+_MIN_GATE_CP = 0x370  # lowest codepoint of any gate script (Greek)
+
+
 def _script_gate(c: np.ndarray) -> tuple[str, float] | None:
     """(lang, conf) when a unique-script language dominates the letters;
     None -> defer to the n-gram centroid model."""
+    # one-pass pre-check: a doc whose max codepoint is below every gate
+    # script can only return None — skip the ~17 range scans. This is
+    # the common case (all Latin-script languages), and without it the
+    # gate cost ~15% of END-TO-END pipeline throughput (measured: the
+    # gate did more array passes than the n-gram featurizer it guards).
+    if c.size == 0 or int(c.max()) < _MIN_GATE_CP:
+        return None
     counts = {name: int(_in_ranges(c, r).sum()) for name, r in _SCRIPT_RANGES}
     script_total = sum(counts.values())
     if script_total == 0:

@@ -47,7 +47,8 @@ def test_langid_hard_cases_accuracy():
     """Code-mixed, very short, and close-pair (es/pt, nl/de) texts: the
     centroid model legitimately struggles here; gate at 0.8 and keep the
     specific confusions documented in BASELINE.md."""
-    # measured 9/10 post-widening; gate leaves one-miss headroom
+    # measured 10/10 after the round-4 close-pair tie-break; 0.8 leaves
+    # two-miss headroom
     ok, n, misses = _score("hard")
     assert ok / n >= 0.8, misses
 
