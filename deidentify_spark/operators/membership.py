@@ -20,8 +20,9 @@ Everything is JVM Column work: build is explode -> one groupBy(bit_or)
 shuffle of (k x n) longs; probe packs the bitmap into ONE map row,
 broadcasts it, and evaluates all k lookups per doc inside a `forall`
 lambda — zero shuffle, zero Python. For m beyond broadcast comfort
-(~2^30 bits = 128 MB packed), probe via explode + shuffle-join on
-word_idx instead; the build side is unchanged. Scala/Spark's own
+(~2^30 bits = 128 MB packed), ``bloom_maybe_seen_join`` probes via
+explode + equi-join on word_idx instead (same build artifact, same
+results — equivalence pinned in tests). Scala/Spark's own
 ``DataFrameStatFunctions.bloomFilter`` has no PySpark surface and its
 bitmap is opaque to SQL engines — this keeps the filter queryable,
 mergeable (union builds + re-bit_or), and oracle-checkable.
@@ -122,6 +123,48 @@ def bloom_maybe_seen(
         .withColumn(out_col, F.forall(pos, present))
         .drop("_bloom_map")
     )
+
+
+def bloom_maybe_seen_join(
+    df: DataFrame,
+    bloom: DataFrame,
+    col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 3,
+    id_col: str = "doc_id",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Giant-m probe: same semantics as bloom_maybe_seen, for bitmaps
+    too large to pack into one broadcast map (~m > 2^30 bits / 128 MB
+    packed — e.g. m=2^33 ≈ 1 GB covering 10^9 hashes).
+
+    Shape: explode the k positions (k longs per row), equi-join the
+    bitmap table on word_idx (AQE picks broadcast while the bitmap is
+    small and sort-merge once it isn't — the join key is uniform by
+    construction, so no skew), per-position bit test, then one
+    map-side-combinable groupBy(id) bool_and joined back to the input.
+    Equivalence with the broadcast-map probe is pinned in tests.
+    """
+    pos = _positions_array(F.col(col), k, m_bits)
+    probes = df.select(id_col, F.explode(pos).alias("pos")).select(
+        id_col,
+        "pos",
+        F.expr("shiftright(pos, 5)").alias("word_idx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, {_WORD_BITS}) AS INT))"
+        ).alias("bit"),
+    )
+    hits = (
+        probes.join(bloom, "word_idx", "left")
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                (F.col("word").isNotNull())
+                & (F.col("word").bitwiseAND(F.col("bit")) != 0)
+            ).alias(out_col)
+        )
+    )
+    return df.join(hits, id_col, "left")
 
 
 def bloom_fp_estimate(n_items: int, m_bits: int, k: int) -> float:

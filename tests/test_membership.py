@@ -11,6 +11,7 @@ from deidentify_spark.operators.membership import (
     bloom_build,
     bloom_fp_estimate,
     bloom_maybe_seen,
+    bloom_maybe_seen_join,
 )
 
 M, K = 1 << 14, 3
@@ -61,6 +62,20 @@ def test_merge_is_associative(spark, corpus):
     )
     assert whole.exceptAll(merged).count() == 0
     assert merged.exceptAll(whole).count() == 0
+
+
+def test_join_probe_matches_broadcast_probe(spark, corpus):
+    """The giant-m join probe and the broadcast-map probe are the same
+    operator: identical maybe_seen for every row, including the false
+    positives."""
+    build = corpus.where("rid % 2 = 0")
+    bloom = bloom_build(build, "text", M, K).persist()
+    a = bloom_maybe_seen(corpus, bloom, "text", M, K).select("rid", "maybe_seen")
+    b = bloom_maybe_seen_join(
+        corpus, bloom, "text", M, K, id_col="rid"
+    ).select("rid", "maybe_seen")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
 
 
 def test_probe_plan_is_shuffle_free(spark, corpus):
