@@ -67,6 +67,32 @@ def test_stream_pipeline_resume_no_reprocess(spark, tmp_path):
     assert spark.read.parquet(out).count() == n1 + 50
 
 
+def test_stream_pipeline_html_ingestion(spark, tmp_path):
+    """The WARC-ingestion posture streams: extract_from_html derives
+    text inside the streaming plan (stateless stage), matching the batch
+    text path doc-for-doc."""
+    import pyspark.sql.functions as F
+
+    from deidentify_spark.pipeline.stages import run_pipeline
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = generate_pages(spark, 120, seed=17, partitions=2).select(*PAGE_COLUMNS)
+    # poison text on disk so only the html path can be right
+    pages.withColumn("text", F.lit("")).write.parquet(inp)
+
+    cfg = PipelineConfig(secret_key=KEY, extract_from_html=True)
+    q = stream_pipeline(spark, inp, out, ckpt, cfg).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    want = run_pipeline(pages, PipelineConfig(secret_key=KEY))
+    cols = ["url", "lang_pred", "drop_reason", "keep", "scrubbed_text"]
+    assert want.select(cols).exceptAll(got.select(cols)).count() == 0
+    assert got.select(cols).exceptAll(want.select(cols)).count() == 0
+
+
 def _write_events(spark, path, rows, mode="append"):
     spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
