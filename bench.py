@@ -126,7 +126,9 @@ def _run_pipeline_leg(cores: int, n_docs: int) -> float:
         parts = cores * 8  # >=8 waves so doc-length variance load-balances
         cfg = PipelineConfig(secret_key="bench-key", repartition=parts)
         # generation is excluded from the timed region: materialize first
-        pages = generate_pages(spark, n_docs, seed=42, partitions=parts)
+        pages = generate_pages(
+            spark, n_docs, seed=42, partitions=parts, include_html=False
+        )
         pages = pages.select("url", "warc_ts", "text", "lang")
         pages.cache().count()
         # warm EVERY python worker (imports, model fit) + JVM codegen —

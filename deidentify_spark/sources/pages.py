@@ -227,8 +227,16 @@ def _html_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
-def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
-    """Generate one labeled page — pure function of (seed, doc_id, cfg)."""
+def make_doc(
+    seed: int, doc_id: int, cfg: QualityConfig, include_html: bool = True
+) -> dict:
+    """Generate one labeled page — pure function of (seed, doc_id, cfg).
+
+    ``include_html=False`` skips the page render (html = b"") for
+    consumers that drop the column immediately (the synthesize job and
+    bench legs): the render draws rng strictly AFTER every other field,
+    so skipping it changes NO other value — pinned in
+    test_generator_deterministic_and_pure."""
     r = _rng_for(seed, doc_id)
     category = _pick_category(r.random())
 
@@ -337,7 +345,7 @@ def make_doc(seed: int, doc_id: int, cfg: QualityConfig) -> dict:
     host = int(_N_HOSTS * (r.random() ** _ZIPF_EXP))
     url = f"https://host{host:04d}.example/page/{doc_id:012d}"
     warc_ts = _BASE_TS + timedelta(seconds=(doc_id * 37) % 31_536_000)
-    html = render_page_html(text, doc_id, host, r)
+    html = render_page_html(text, doc_id, host, r) if include_html else b""
 
     return {
         "doc_id": doc_id,
@@ -360,19 +368,21 @@ def generate_pages(
     seed: int = 42,
     cfg: QualityConfig | None = None,
     partitions: int | None = None,
+    include_html: bool = True,
 ) -> DataFrame:
     """Distributed deterministic generation: spark.range -> mapInPandas.
 
     Output is identical for any partition count (every row is a pure
     function of its id), so this scales to arbitrary n_docs without a
-    driver-side loop.
+    driver-side loop. ``include_html=False`` skips the page render for
+    consumers that drop the column (all other fields unchanged).
     """
     cfg = cfg or QualityConfig()
     rng = spark.range(0, n_docs, numPartitions=partitions)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [make_doc(seed, int(i), cfg) for i in pdf["id"]]
+            rows = [make_doc(seed, int(i), cfg, include_html) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return rng.mapInPandas(gen, PAGES_SCHEMA)

@@ -54,7 +54,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.synthesize:
         from deidentify_spark.sources.pages import PAGE_COLUMNS, generate_pages
 
-        pages = generate_pages(spark, args.synthesize, seed=42).select(*PAGE_COLUMNS)
+        pages = generate_pages(
+            spark, args.synthesize, seed=42, include_html=False
+        ).select(*PAGE_COLUMNS)
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:

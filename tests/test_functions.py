@@ -42,6 +42,12 @@ def test_perplexity_separates_gibberish():
 def test_generator_deterministic_and_pure():
     a = make_doc(42, 123, CFG)
     b = make_doc(42, 123, CFG)
+    # skipping the render must change nothing but html itself
+    nohtml = make_doc(42, 123, CFG, include_html=False)
+    assert nohtml["html"] == b""
+    assert {k: v for k, v in nohtml.items() if k != "html"} == {
+        k: v for k, v in a.items() if k != "html"
+    }
     assert a == b
     c = make_doc(43, 123, CFG)
     assert c["text"] != a["text"]
