@@ -16,11 +16,13 @@ This module implements both directions with no dependencies:
   Spark's committer on purpose: WARC is an interchange format with a
   fixed external layout, not a queryable table — the manifest is the
   commit record, mirroring pipeline/checkpoint.py's manifest posture.
-* ``read_warc`` — a distributed source: ``binaryFile`` scan (one task
-  per file — exactly how CC jobs shard: the file is the split unit) ->
-  ``mapInPandas`` member-by-member parse -> ``(url, warc_ts, html)``
-  rows matching the BASELINE input schema, ready for
-  ``with_extracted_text`` (functions/htmlx.py) and the pipeline.
+* ``read_warc`` — a distributed source: ``binaryFile`` listing (the
+  file is the split unit — exactly how CC jobs shard) ->
+  ``mapInPandas`` opens each file task-locally and parses members ->
+  ``(url, warc_ts, html)`` rows matching the BASELINE input schema,
+  ready for ``with_extracted_text`` (functions/htmlx.py) and the
+  pipeline. Only paths cross the Arrow boundary by default (see
+  read_warc for the measured why).
 
 Scale notes (100 TB = ~100k CC WARC files at ~1 GB):
 * the unit of parallelism is the file; CC's ~1 GB sizing keeps one
@@ -206,39 +208,67 @@ def read_warc(
     spark: SparkSession,
     path: str,
     batch_records: int = 1000,
+    via_content: bool = False,
 ) -> DataFrame:
-    """Distributed WARC source: binaryFile scan -> per-file member parse.
+    """Distributed WARC source: binaryFile listing -> per-file member
+    parse -> page rows.
 
     Emits only ``response`` records (request/metadata/warcinfo records —
     present in real CC files — are skipped), with the html body separated
     from its HTTP envelope.
+
+    By default only the PATH column crosses the JVM->Python Arrow
+    boundary; each task opens its files with plain local I/O (the
+    warcio-reader posture — requires the files on a filesystem every
+    executor can open: local, NFS, or a FUSE-mounted object store).
+    Shipping whole-file contents through Arrow instead
+    (``via_content=True``, for object-store paths Python cannot open)
+    measurably OOMs the 1 GiB netty direct-memory pool once ~32
+    concurrent tasks each buffer multiple files both directions —
+    that failure mode is why path-shipping is the default.
     """
 
-    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                rows: list[dict] = []
-                for off, headers, payload in iter_warc_records(bytes(content)):
-                    if headers.get("warc-type") != "response":
-                        continue
-                    ts = datetime.strptime(
-                        headers["warc-date"], _WARC_DATE_FMT
-                    ).replace(tzinfo=timezone.utc)
-                    rows.append(
-                        {
-                            "url": headers.get("warc-target-uri"),
-                            # tz-naive UTC: Spark TimestampType via Arrow
-                            "warc_ts": ts.replace(tzinfo=None),
-                            "html": parse_response_payload(payload),
-                            "warc_file": fpath,
-                            "record_offset": off,
-                        }
-                    )
-                    if len(rows) >= batch_records:
-                        yield pd.DataFrame(rows)
-                        rows = []
-                if rows:
-                    yield pd.DataFrame(rows)
+    def _rows_from_bytes(fpath: str, data: bytes) -> Iterator[pd.DataFrame]:
+        rows: list[dict] = []
+        for off, headers, payload in iter_warc_records(data):
+            if headers.get("warc-type") != "response":
+                continue
+            ts = datetime.strptime(headers["warc-date"], _WARC_DATE_FMT).replace(
+                tzinfo=timezone.utc
+            )
+            rows.append(
+                {
+                    "url": headers.get("warc-target-uri"),
+                    # tz-naive UTC: Spark TimestampType via Arrow
+                    "warc_ts": ts.replace(tzinfo=None),
+                    "html": parse_response_payload(payload),
+                    "warc_file": fpath,
+                    "record_offset": off,
+                }
+            )
+            if len(rows) >= batch_records:
+                yield pd.DataFrame(rows)
+                rows = []
+        if rows:
+            yield pd.DataFrame(rows)
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    return files.mapInPandas(_parse, WARC_PAGE_SCHEMA)
+    if via_content:
+
+        def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    yield from _rows_from_bytes(fpath, bytes(content))
+
+        files = spark.read.format("binaryFile").load(path).select("path", "content")
+        return files.mapInPandas(_parse, WARC_PAGE_SCHEMA)
+
+    def _parse_local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath in pdf["path"]:
+                local = fpath[5:] if fpath.startswith("file:") else fpath
+                with open(local, "rb") as f:
+                    data = f.read()
+                yield from _rows_from_bytes(fpath, data)
+
+    files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(_parse_local, WARC_PAGE_SCHEMA)

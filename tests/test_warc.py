@@ -90,6 +90,12 @@ def test_distributed_round_trip(spark, tmp_path):
     assert joined.count() == 300  # url+ts+html all byte/value-identical
     assert back.count() == 300
 
+    # the object-store fallback (contents through Arrow) reads the same
+    via = read_warc(spark, out + "/*.warc.gz", via_content=True)
+    assert via.select("url", "warc_ts", "html").exceptAll(
+        back.select("url", "warc_ts", "html")
+    ).count() == 0
+
 
 @pytest.mark.usefixtures("spark")
 def test_warc_to_pipeline_chain(spark, tmp_path):
