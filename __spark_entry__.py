@@ -981,6 +981,52 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def url_canonicalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): both engines build the
+    same deliberately-messy URL per doc (mixed-case scheme/host, default
+    ports, doubled slashes, trailing slash, tracking params, fragments
+    — branch coverage via doc_id residues) and reduce it to canonical
+    form; every branch of the canonicalizer is value-checked.  Pure
+    codegen column work, no shuffle."""
+    from deidentify_spark.functions.urls import canonicalize_url
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    messy = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP://"))
+        .when(d % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("HtTpS://")),
+        F.lit("WWW.Site"),
+        (d % 7).cast("string"),
+        F.lit(".EXAMPLE.Com"),
+        F.when(d % 3 == 0, F.lit(":80"))
+        .when(d % 3 == 1, F.lit(":443"))
+        .otherwise(F.lit("")),
+        F.lit("//p/"),
+        (d % 11).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=feed&z=9&a=1&fbclid=x#top"))
+        .when(d % 4 == 1, F.lit("?b=2&a=1"))
+        .when(d % 4 == 2, F.lit("?utm_campaign=only#f"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id", canonicalize_url(messy, strip_www=True).alias("canonical_url")
+    ).orderBy("doc_id")
+
+
+_URL_MESSY_SQL = """(
+    (CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' WHEN doc_id % 3 = 1 THEN 'https://' ELSE 'HtTpS://' END)
+    || 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.EXAMPLE.Com'
+    || (CASE WHEN doc_id % 3 = 0 THEN ':80' WHEN doc_id % 3 = 1 THEN ':443' ELSE '' END)
+    || '//p/' || CAST(doc_id % 11 AS VARCHAR)
+    || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&z=9&a=1&fbclid=x#top'
+             WHEN doc_id % 4 = 1 THEN '?b=2&a=1'
+             WHEN doc_id % 4 = 2 THEN '?utm_campaign=only#f' ELSE '' END)
+)"""
+
+
 def nb_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed trained-classifier operator (operators/classifier.py):
     multinomial NB over hashed word uni+bigrams, trained IN the query on
@@ -1200,7 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "distinct_counts_documents": distinct_counts_documents,
         "union_by_name_documents": union_by_name_documents,
-        "json_events_avg_by_type": json_events_avg_by_type,
+        "url_canonicalize_documents": url_canonicalize_documents,
         "events_tumbling_10min": events_tumbling_10min,
         "dedup_exact_documents": dedup_exact_documents,
         "nb_classifier_documents": nb_classifier_documents,
@@ -1242,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_incremental_documents": minhash_incremental_documents,
         "window_customer_running_spend": window_customer_running_spend,
         "text_stats_documents": text_stats_documents,
+        "json_events_avg_by_type": json_events_avg_by_type,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1548,6 +1595,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
             FROM documents ORDER BY doc_id
         """,
+        "url_canonicalize_documents": "SELECT doc_id, "
+        + __import__(
+            "deidentify_spark.functions.urls", fromlist=["canonicalize_url_sql"]
+        ).canonicalize_url_sql(_URL_MESSY_SQL, strip_www=True)
+        + " AS canonical_url FROM documents ORDER BY doc_id",
         "nb_classifier_documents": __import__(
             "deidentify_spark.operators.classifier", fromlist=["nb_oracle_sql"]
         ).nb_oracle_sql("documents", "doc_id < 250", "lang = 'en'"),

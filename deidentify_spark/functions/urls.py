@@ -57,6 +57,99 @@ def domain_filter(
     )
 
 
+# Tracking parameters stripped by canonicalization — the public
+# analytics/click-id set (utm_* per Google, click ids per the major ad
+# platforms, mailchimp ids). Order irrelevant; matching is on the key
+# before '='.
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "gclid", "fbclid", "msclkid", "igshid", "mc_cid", "mc_eid", "ref",
+)
+
+# One conservative-syntax regex both engines (Java regex / RE2) parse
+# identically: scheme :// authority path ?query #fragment.
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+
+
+def canonicalize_url(url: Column, strip_www: bool = False) -> Column:
+    """RFC-3986-style canonical form, NULL for unparseable input:
+    lowercase scheme+host, default ports stripped (:80 http / :443
+    https), fragment dropped, duplicate slashes collapsed, trailing
+    slash trimmed (except root), tracking params removed and the rest
+    sorted. Pure JVM regex/array expressions — codegen, no UDF; the
+    same reduction C4/CC-style pipelines apply before URL dedup.
+    """
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    auth = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    raw_path = F.regexp_extract(url, _URL_RE, 3)
+    raw_q = F.regexp_extract(url, _URL_RE, 4)
+
+    host = (
+        F.when(scheme == "http", F.regexp_replace(auth, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(auth, ":443$", ""))
+        .otherwise(auth)
+    )
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+
+    path = F.regexp_replace(raw_path, "/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, "(.)/$", "$1")
+    )
+
+    params = F.filter(
+        F.split(raw_q, "&"),
+        lambda p: (p != "")
+        & ~F.split(p, "=").getItem(0).isin(*TRACKING_PARAMS),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(canonical)
+
+
+def canonicalize_url_sql(expr: str, strip_www: bool = False) -> str:
+    """DuckDB twin of canonicalize_url over SQL expression ``expr`` —
+    same regex, same branch structure (DuckDB regexp_replace backrefs
+    are \\1 where Java's are $1; everything else is shared RE2-safe
+    syntax)."""
+    # DuckDB single-quoted strings are escape-free: backslashes pass
+    # through literally, so the regex goes in verbatim (doubling them
+    # corrupts the pattern); only quotes need doubling
+    pat = _URL_RE.replace("'", "''")
+    scheme = f"lower(regexp_extract({expr}, '{pat}', 1))"
+    auth = f"lower(regexp_extract({expr}, '{pat}', 2))"
+    raw_path = f"regexp_extract({expr}, '{pat}', 3)"
+    raw_q = f"regexp_extract({expr}, '{pat}', 4)"
+    host = f"""(CASE
+        WHEN {scheme} = 'http' THEN regexp_replace({auth}, ':80$', '')
+        WHEN {scheme} = 'https' THEN regexp_replace({auth}, ':443$', '')
+        ELSE {auth} END)"""
+    if strip_www:
+        host = f"regexp_replace({host}, '^www\\.', '')"
+    # 'g' flag: DuckDB regexp_replace is first-match-only by default,
+    # Spark's is global; the anchored replaces below can only match once
+    path = f"regexp_replace({raw_path}, '/{{2,}}', '/', 'g')"
+    path = f"(CASE WHEN {path} = '' THEN '/' ELSE regexp_replace({path}, '(.)/$', '\\1') END)"
+    not_tracking = " , ".join(f"'{p}'" for p in TRACKING_PARAMS)
+    # COALESCE: DuckDB's array_to_string over a filtered-to-empty list
+    # yields NULL (not ''), which would NULL-poison the concatenation
+    q = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split({raw_q}, '&'), "
+        f"p -> p <> '' AND NOT split_part(p, '=', 1) IN ({not_tracking}))), '&'), '')"
+    )
+    return f"""(CASE WHEN {scheme} = '' THEN NULL ELSE
+        {scheme} || '://' || {host} || {path} ||
+        (CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END)
+    END)"""
+
+
 def host_doc_counts(
     df: DataFrame,
     blocked_domains: "tuple[str, ...] | list[str]" = (),
