@@ -981,6 +981,25 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control strip (functions/normalize.py),
+    value-checked across two INDEPENDENT NFC implementations: CPython
+    unicodedata on the Spark side vs DuckDB's utf8proc on the oracle
+    side.  Each doc gets a decomposed suffix (e + combining acute) and a
+    stray control byte appended; md5 agreement requires both engines to
+    compose and strip identically.  Map-only, no shuffle."""
+    from deidentify_spark.functions.normalize import normalize_text_column
+
+    docs = _t(spark, sf_dir, "documents")
+    # DECOMPOSED e + U+0301: NFC must compose it, then strip the \x08
+    dirty = F.concat(F.col("text"), F.lit(" cafe\u0301\x08!"))
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text_column(dirty)).alias("norm_md5"),
+        F.length(normalize_text_column(dirty)).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
 def url_canonicalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (functions/urls.py): both engines build the
     same deliberately-messy URL per doc (mixed-case scheme/host, default
@@ -1247,7 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_counts_documents": distinct_counts_documents,
         "union_by_name_documents": union_by_name_documents,
         "url_canonicalize_documents": url_canonicalize_documents,
-        "events_tumbling_10min": events_tumbling_10min,
+        "normalize_text_documents": normalize_text_documents,
         "dedup_exact_documents": dedup_exact_documents,
         "nb_classifier_documents": nb_classifier_documents,
         "ann_cosine_top10": ann_cosine_top10,
@@ -1289,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_customer_running_spend": window_customer_running_spend,
         "text_stats_documents": text_stats_documents,
         "json_events_avg_by_type": json_events_avg_by_type,
+        "events_tumbling_10min": events_tumbling_10min,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1595,6 +1615,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
             FROM documents ORDER BY doc_id
         """,
+        # two independent NFC implementations must agree on every hash
+        "normalize_text_documents": "SELECT doc_id, md5("
+        + __import__(
+            "deidentify_spark.functions.normalize", fromlist=["normalize_text_sql"]
+        ).normalize_text_sql("(text || ' cafe' || chr(769) || chr(8) || '!')")
+        + ") AS norm_md5, length("
+        + __import__(
+            "deidentify_spark.functions.normalize", fromlist=["normalize_text_sql"]
+        ).normalize_text_sql("(text || ' cafe' || chr(769) || chr(8) || '!')")
+        + ") AS n_chars FROM documents ORDER BY doc_id",
         "url_canonicalize_documents": "SELECT doc_id, "
         + __import__(
             "deidentify_spark.functions.urls", fromlist=["canonicalize_url_sql"]
