@@ -9,7 +9,7 @@ Launch (local or cluster — the job only talks to the SparkSession):
         --input  /path/to/pages_parquet \\
         --output /path/to/run_output \\
         --secret-key "$SECRET_KEY" [--n-waves 8] [--detect-ips] \\
-        [--repartition 4096] [--synthesize N]
+        [--repartition 4096] [--synthesize N] [--input-warc '/crawl/*.warc.gz']
 
 Writes scrubbed pages (parquet, partitioned by lineage bucket) and the
 per-bucket metrics table under --output, checkpointed wave-by-wave so a
@@ -29,6 +29,11 @@ import time
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", help="input pages parquet/Iceberg path")
+    p.add_argument(
+        "--input-warc",
+        help="input .warc.gz glob (Common-Crawl layout); text is derived "
+        "from html by the extraction stage",
+    )
     p.add_argument("--output", required=True)
     p.add_argument("--secret-key", required=True)
     p.add_argument("--n-waves", type=int, default=8)
@@ -43,12 +48,21 @@ def main(argv: list[str] | None = None) -> int:
     from deidentify_spark.pipeline.checkpoint import run_checkpointed
     from deidentify_spark.pipeline.stages import PipelineConfig
 
-    spark = SparkSession.builder.appName("deidentify-pipeline").getOrCreate()
+    builder = SparkSession.builder.appName("deidentify-pipeline")
+    if args.input_warc:
+        # Arrow batches carry the html binary column into the extraction
+        # UDF in WARC mode — size them in bytes, not the 10k-row default
+        # (SCALE.md "Memory & spill posture": measured direct-memory OOM)
+        builder = builder.config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", "1000"
+        )
+    spark = builder.getOrCreate()
     cfg = PipelineConfig(
         secret_key=args.secret_key,
         n_buckets=args.n_buckets,
         repartition=args.repartition,
         detect_ips=args.detect_ips,
+        extract_from_html=bool(args.input_warc),
     )
 
     if args.synthesize:
@@ -57,10 +71,22 @@ def main(argv: list[str] | None = None) -> int:
         pages = generate_pages(
             spark, args.synthesize, seed=42, include_html=False
         ).select(*PAGE_COLUMNS)
+    elif args.input_warc:
+        from pyspark.sql import functions as F
+
+        from deidentify_spark.sources.warc import read_warc
+
+        pages = read_warc(spark, args.input_warc).select(
+            "url",
+            "warc_ts",
+            "html",
+            F.lit(None).cast("string").alias("text"),
+            F.lit("und").alias("lang"),
+        )
     elif args.input:
         pages = spark.read.parquet(args.input)
     else:
-        p.error("one of --input / --synthesize is required")
+        p.error("one of --input / --input-warc / --synthesize is required")
 
     t0 = time.time()
     manifest = run_checkpointed(pages, args.output, cfg, n_waves=args.n_waves)
