@@ -981,6 +981,26 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled data-mixing weights (operators/curation.py):
+    per-source n_docs, normalized n^alpha weight, and the capped
+    Bernoulli rate for a 300-doc target — the recipe that feeds
+    stratified_sample.  One aggregate + broadcast scalar."""
+    from deidentify_spark.operators.curation import mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        mixture_weights(docs, alpha=0.5, target_total=300)
+        .select(
+            "source",
+            "n_docs",
+            F.round("weight", 6).alias("weight"),
+            F.round("rate", 6).alias("rate"),
+        )
+        .orderBy("source")
+    )
+
+
 def normalize_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode NFC normalization + control strip (functions/normalize.py),
     value-checked across two INDEPENDENT NFC implementations: CPython
@@ -1278,7 +1298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_documents": semantic_dedup_documents,
         "dedup_cap_lineage": dedup_cap_lineage,
         "dup_span_stats_documents": dup_span_stats_documents,
-        "stratified_sample_documents": stratified_sample_documents,
+        "mixture_weights_documents": mixture_weights_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "decontaminate_documents": decontaminate_documents,
         "token_counts_documents": token_counts_documents,
@@ -1309,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats_documents": text_stats_documents,
         "json_events_avg_by_type": json_events_avg_by_type,
         "events_tumbling_10min": events_tumbling_10min,
+        "stratified_sample_documents": stratified_sample_documents,
         "cube_part_brand_size": cube_part_brand_size,
         "setop_intersect_high_value_urgent": setop_intersect_high_value_urgent,
         "approx_distinct_documents": approx_distinct_documents,
@@ -1614,6 +1635,14 @@ def oracle_sql() -> dict[str, str]:
         "html_extract_digest": """
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
             FROM documents ORDER BY doc_id
+        """,
+        "mixture_weights_documents": """
+            WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+                 z AS (SELECT SUM(POW(n_docs, 0.5)) AS z FROM c)
+            SELECT source, n_docs,
+                   ROUND(POW(n_docs, 0.5) / z.z, 6) AS weight,
+                   ROUND(LEAST(1.0, 300.0 * (POW(n_docs, 0.5) / z.z) / n_docs), 6) AS rate
+            FROM c, z ORDER BY source
         """,
         # two independent NFC implementations must agree on every hash
         "normalize_text_documents": "SELECT doc_id, md5("

@@ -174,6 +174,46 @@ def stratified_sample(
     return df.where(u < rate)
 
 
+def mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    target_total: int | None = None,
+    strata_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixing (the multi-source pretraining
+    recipe, e.g. multilingual sampling p_s ∝ n_s^alpha): alpha < 1
+    upweights tail sources relative to their natural share, alpha = 1
+    is proportional, alpha = 0 uniform. Returns per-source n_docs, the
+    normalized mixture weight, and — when ``target_total`` is given —
+    the per-source Bernoulli ``rate`` (capped at 1.0: a source cannot
+    yield more docs than it has; the shortfall from capping is visible
+    as sum(rate*n_docs) < target and is the caller's re-normalization
+    decision, not silently redistributed) that feeds straight into
+    ``stratified_sample``. One count aggregate + a broadcast scalar —
+    O(distinct sources).
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    z = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"), F.lit(alpha))).alias("z")
+    )
+    out = counts.crossJoin(F.broadcast(z)).select(
+        strata_col,
+        "n_docs",
+        (F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) / F.col("z")).alias(
+            "weight"
+        ),
+    )
+    if target_total is not None:
+        out = out.withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_total)) * F.col("weight") / F.col("n_docs"),
+            ),
+        )
+    return out
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

@@ -244,3 +244,34 @@ def test_line_dedup_threshold_and_empty(spark):
     out2 = {r.doc_id: r for r in line_dedup(_docs(spark, rows), min_dup=2).collect()}
     assert out2[0].cleaned_text == "b" and out2[1].cleaned_text == "c"
     assert out2[2].cleaned_text == "" and out2[2].n_lines == 1
+
+
+def test_mixture_weights_math_and_composition(spark):
+    """Weights normalize, alpha endpoints behave (1=proportional,
+    0=uniform), rates cap at 1.0, and the rates actually drive
+    stratified_sample to ~the target size."""
+    import pyspark.sql.functions as F
+
+    from deidentify_spark.operators.curation import mixture_weights, stratified_sample
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "tiny"), f"doc {i}")
+            for i in range(1000)]
+    df = _docs(spark, rows)
+
+    w = {r.source: r for r in mixture_weights(df, alpha=0.5, target_total=500).collect()}
+    assert abs(sum(r.weight for r in w.values()) - 1.0) < 1e-9
+    # sqrt scaling upweights the tail source relative to its share
+    assert w["tiny"].weight / w["big"].weight > (10 / 900)
+    # tiny source: target share exceeds its size -> rate capped at 1.0
+    assert w["tiny"].rate == 1.0
+
+    prop = {r.source: r.weight for r in mixture_weights(df, alpha=1.0).collect()}
+    assert abs(prop["big"] - 0.9) < 1e-9
+    unif = {r.source: r.weight for r in mixture_weights(df, alpha=0.0).collect()}
+    assert all(abs(v - 1 / 3) < 1e-9 for v in unif.values())
+
+    rates = {r.source: r.rate for r in
+             mixture_weights(df, alpha=0.5, target_total=500).collect()}
+    got = stratified_sample(df, rates, default_rate=0.0).count()
+    expect = sum(min(1.0, rates[s]) * n for s, n in [("big", 900), ("mid", 90), ("tiny", 10)])
+    assert abs(got - expect) / expect < 0.15  # Bernoulli tolerance
