@@ -1025,8 +1025,13 @@ def url_canonicalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     same deliberately-messy URL per doc (mixed-case scheme/host, default
     ports, doubled slashes, trailing slash, tracking params, fragments
     — branch coverage via doc_id residues) and reduce it to canonical
-    form; every branch of the canonicalizer is value-checked.  Pure
-    codegen column work, no shuffle."""
+    form; every branch of the canonicalizer is value-checked.  No
+    shuffle.  NOTE: Spark higher-order functions (the tracking-param
+    filter lambda) are CodegenFallback, so the canonicalizer projection
+    runs interpreted — ~0.36 ms/url steady state (urls are metadata-
+    sized; fine), with a one-off ~15s plan-compile for THIS query's
+    giant messy-construction scaffolding (min-of-2 benching absorbs
+    it)."""
     from deidentify_spark.functions.urls import canonicalize_url
 
     docs = _t(spark, sf_dir, "documents")

@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "html_extract_digest",
     "bloom_membership_documents",
     "nb_classifier_documents",
+    "url_canonicalize_documents",
+    "normalize_text_documents",
+    "mixture_weights_documents",
     "scrub_documents",
 ]
 

@@ -76,8 +76,12 @@ def canonicalize_url(url: Column, strip_www: bool = False) -> Column:
     lowercase scheme+host, default ports stripped (:80 http / :443
     https), fragment dropped, duplicate slashes collapsed, trailing
     slash trimmed (except root), tracking params removed and the rest
-    sorted. Pure JVM regex/array expressions — codegen, no UDF; the
-    same reduction C4/CC-style pipelines apply before URL dedup.
+    sorted. Pure JVM regex/array expressions, no UDF — though the
+    tracking-param `filter` lambda is a Spark HOF and HOFs are
+    CodegenFallback, so the projection evaluates interpreted
+    (~0.36 ms/url measured; urls are metadata-sized, so this never
+    rivals the text stages). The same reduction C4/CC-style pipelines
+    apply before URL dedup.
     """
     scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
     auth = F.lower(F.regexp_extract(url, _URL_RE, 2))
