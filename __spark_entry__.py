@@ -981,6 +981,33 @@ def html_extract_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def jsonl_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round trip — the de-facto LLM-dataset wire
+    format: write documents as .jsonl (df.write.json = one JSON object
+    per line), read back with an explicit schema, and digest every
+    field.  Value-checks JSON string escaping (quotes/backslashes/
+    control chars in text survive), long round-tripping, and that the
+    reader needs no schema inference pass.  Narrow both ways."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_jsonl_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.select("doc_id", "text", "lang", "source").coalesce(4).write.json(out)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string"
+    ).json(out)
+    return back.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+    ).orderBy("doc_id")
+
+
 def mixture_weights_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled data-mixing weights (operators/curation.py):
     per-source n_docs, normalized n^alpha weight, and the capped
@@ -1299,11 +1326,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
         "dedup_cc_clusters_documents": dedup_cc_clusters_documents,
         "embedding_near_dups": embedding_near_dups,
-        "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "semantic_dedup_documents": semantic_dedup_documents,
         "dedup_cap_lineage": dedup_cap_lineage,
         "dup_span_stats_documents": dup_span_stats_documents,
         "mixture_weights_documents": mixture_weights_documents,
+        "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "decontaminate_documents": decontaminate_documents,
         "token_counts_documents": token_counts_documents,
@@ -1329,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: redundant variants of families already value-checked
         # above (still green in CORRECTNESS_LOCAL.json every round)
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
+        "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "minhash_incremental_documents": minhash_incremental_documents,
         "window_customer_running_spend": window_customer_running_spend,
         "text_stats_documents": text_stats_documents,
@@ -1639,6 +1667,10 @@ def oracle_sql() -> dict[str, str]:
         # parse -> strip -> decode round trip is correct, md5 matches.
         "html_extract_digest": """
             SELECT doc_id, md5(text) AS extract_md5, length(text) AS n_chars
+            FROM documents ORDER BY doc_id
+        """,
+        "jsonl_roundtrip_documents": """
+            SELECT doc_id, md5(text) AS text_md5, lang, source
             FROM documents ORDER BY doc_id
         """,
         "mixture_weights_documents": """
