@@ -206,7 +206,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int | None = 10000,
+    max_bucket_size: int | None = 512,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded minhash signatures.
 
@@ -218,14 +218,19 @@ def minhash_lsh_candidates(
     shingles + signatures per side; Spark does not reuse exchanges
     across branches), and no join operator appears in the plan.
 
-    ``max_bucket_size`` (default 10k) drops degenerate buckets (e.g. a
+    ``max_bucket_size`` (default 512) drops degenerate buckets (e.g. a
     boilerplate signature shared by 10^6 docs — run exact_dedup first so
     identical docs never reach LSH): a bucket of m docs emits m(m-1)/2
     pairs, so an uncapped hot bucket is the one place pair volume could
-    blow up (collect_list itself is linear). Capped buckets are dropped
-    whole, mirroring standard LSH practice; pass None only for bounded
-    corpora. The registered driver query caps at 1000 with the identical
-    QUALIFY filter in its DuckDB oracle.
+    blow up (collect_list itself is linear). The old 10k default let a
+    single hot bucket emit 5x10^7 pairs — measured at 500k template-
+    heavy synthetic docs: 9.6x10^8 candidate pairs, 485s mostly spent
+    shuffling pairs through distinct(); 512 caps a bucket at ~1.3x10^5
+    pairs and the same corpus mines in seconds (BASELINE.md round-4).
+    Capped buckets are dropped whole, mirroring standard LSH practice
+    (audit the dropped volume via minhash_lsh_dropped_buckets); pass
+    None only for bounded corpora. The registered driver query caps at
+    1000 with the identical QUALIFY filter in its DuckDB oracle.
     """
     grouped = _minhash_buckets(df, n, k, bands, text_col, id_col)
     if max_bucket_size is not None:
