@@ -793,6 +793,105 @@ def sessionization_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/joins.py): every click event is
+    matched to the latest view event of the same user at or before it,
+    with the time lag in exact integer microseconds.  Spark side is the
+    union + single-key-shuffle + fill-forward window plan (NO join node,
+    no correlated scan); the DuckDB oracle is the textbook correlated
+    LATERAL ... ORDER BY ts DESC LIMIT 1 — two independent formulations
+    that must agree row-for-row, including NULLs for clicks with no
+    prior view and the (ts, event_id) tie-break."""
+    from deidentify_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view")
+    res = asof_join(
+        clicks,
+        views,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "ts"],
+        tie_col="event_id",
+        payload_prefix="view_",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        # parquet ts is TIMESTAMP_NTZ; the two same-session-tz casts
+        # shift identically, so the difference is the exact NTZ lag
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    ).orderBy("event_id")
+
+
+def interval_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join via the bucketed equi-join rewrite
+    (operators/joins.py): 24 deliberately-OVERLAPPING campaign windows
+    (start = 4h grid, length 3-7h) each count the events they contain.
+    The Spark plan is a hash equi-join on 1-hour time buckets plus a
+    residual range filter — no BroadcastNestedLoop, no cartesian — while
+    the oracle is the plain THETA join ``ts >= start AND ts < end``.
+    Overlap means most events land in 2 intervals, so any bucketing or
+    boundary bug (inclusive/exclusive, straddling end-bucket) shifts
+    counts."""
+    from deidentify_spark.operators.joins import bucketed_interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    iv = spark.range(24).select(
+        F.col("id").alias("interval_id"),
+        (base + F.make_interval(hours=(F.col("id") * 4).cast("int"))).alias(
+            "start_ts"
+        ),
+        (
+            base
+            + F.make_interval(
+                hours=(F.col("id") * 4 + 3 + F.col("id") % 5).cast("int")
+            )
+        ).alias("end_ts"),
+    )
+    joined = bucketed_interval_join(ev, iv, "ts", "start_ts", "end_ts", 3600)
+    return (
+        joined.groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("interval_id")
+    )
+
+
+def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round trip — Spark's second native columnar
+    format beside parquet: write documents as ORC, read back, digest
+    every field.  Same harness as jsonl_roundtrip_documents; together
+    the parquet/CSV/JSONL/WARC/ORC family covers every interchange
+    format this engine reads or writes.  Narrow both ways."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    docs.select("doc_id", "text", "lang", "source").coalesce(4).write.orc(out)
+    back = spark.read.orc(out)
+    return back.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "lang",
+        "source",
+    ).orderBy("doc_id")
+
+
 def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-minute windows sliding by 10 minutes (each event in 2 windows)."""
     ev = _t(spark, sf_dir, "events")
@@ -1325,9 +1424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
         "dedup_cc_clusters_documents": dedup_cc_clusters_documents,
-        "embedding_near_dups": embedding_near_dups,
+        "asof_join_events": asof_join_events,
         "semantic_dedup_documents": semantic_dedup_documents,
-        "dedup_cap_lineage": dedup_cap_lineage,
+        "interval_attribution_events": interval_attribution_events,
         "dup_span_stats_documents": dup_span_stats_documents,
         "mixture_weights_documents": mixture_weights_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
@@ -1355,6 +1454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
         # ---- tail: redundant variants of families already value-checked
         # above (still green in CORRECTNESS_LOCAL.json every round)
+        "embedding_near_dups": embedding_near_dups,
+        "dedup_cap_lineage": dedup_cap_lineage,
+        "orc_roundtrip_documents": orc_roundtrip_documents,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "minhash_incremental_documents": minhash_incremental_documents,
@@ -1748,6 +1850,45 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY 1
             ORDER BY month
+        """,
+        # textbook correlated formulation — deliberately NOT the Spark
+        # plan shape (union + fill-forward window), so the two engines
+        # agree only if the as-of semantics themselves are right
+        "asof_join_events": """
+            SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+                   epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+            FROM events c
+            LEFT JOIN LATERAL (
+                SELECT event_id, ts FROM events v
+                WHERE v.user_id = c.user_id
+                  AND v.event_type = 'view'
+                  AND v.ts <= c.ts
+                ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v ON TRUE
+            WHERE c.event_type = 'click'
+            ORDER BY c.event_id
+        """,
+        # plain theta join — the Spark side's bucketed equi-join rewrite
+        # must reproduce it exactly, overlaps and boundaries included
+        "interval_attribution_events": """
+            WITH iv AS (
+                SELECT i AS interval_id,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(i * 4) AS start_ts,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                         + to_hours(i * 4 + 3 + i % 5) AS end_ts
+                FROM range(24) t(i)
+            )
+            SELECT interval_id, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events e JOIN iv
+              ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+            GROUP BY interval_id
+            ORDER BY interval_id
+        """,
+        "orc_roundtrip_documents": """
+            SELECT doc_id, md5(text) AS text_md5, lang, source
+            FROM documents ORDER BY doc_id
         """,
         "events_tumbling_10min": """
             SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),

@@ -1,0 +1,134 @@
+"""Temporal join operators (operators/joins.py): as-of join and
+bucketed interval join — semantics edge cases the sf0.01 oracle sweep
+may not exercise, plus plan-shape pins for the scale posture."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidentify_spark.operators.joins import asof_join, bucketed_interval_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def asof_frames(spark):
+    probe = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # exact-tie with ref 102
+            (2, 10, _ts("2024-01-01 11:00:00")),  # between refs -> 102
+            (3, 10, _ts("2024-01-01 09:00:00")),  # before all refs -> NULL
+            (4, 20, _ts("2024-01-01 10:30:00")),  # other key -> 201
+            (5, 30, _ts("2024-01-01 10:00:00")),  # key with no refs -> NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    ref = spark.createDataFrame(
+        [
+            (101, 10, _ts("2024-01-01 10:00:00"), 1.0),  # tie loser (id<102)
+            (102, 10, _ts("2024-01-01 10:00:00"), 2.0),  # tie winner
+            (103, 10, _ts("2024-01-01 12:00:00"), 3.0),  # after probe 2
+            (201, 20, _ts("2024-01-01 10:00:00"), 4.0),
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    return probe, ref
+
+
+def test_asof_backward_inclusive_tie_and_nulls(spark, asof_frames):
+    probe, ref = asof_frames
+    out = asof_join(
+        probe,
+        ref,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value"],
+        tie_col="event_id",
+        payload_prefix="m_",
+    )
+    rows = {r.event_id: (r.m_event_id, r.m_value) for r in out.collect()}
+    assert rows == {
+        1: (102, 2.0),  # ts-equal ref visible (inclusive), max tie wins
+        2: (102, 2.0),  # latest ref at-or-before, not the later one
+        3: (None, None),  # no prior ref in key
+        4: (201, 4.0),
+        5: (None, None),  # key absent from reference side
+    }
+    # left as-of: every probe row exactly once
+    assert out.count() == probe.count()
+
+
+def test_asof_plan_has_no_join_node(spark, asof_frames):
+    probe, ref = asof_frames
+    out = asof_join(
+        probe, ref, ["user_id"], "ts", ["event_id"], "event_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert node not in plan, node
+    assert "Window" in plan  # single shuffle + linear window scan
+
+
+@pytest.fixture(scope="module")
+def interval_frames(spark):
+    events = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:00:00")),  # == start of A (inclusive)
+            (2, _ts("2024-01-01 02:59:59")),  # inside A and B (overlap)
+            (3, _ts("2024-01-01 03:00:00")),  # == end of A (exclusive), in B
+            (4, _ts("2024-01-01 02:30:00")),  # A + B
+            (5, _ts("2024-01-01 07:00:00")),  # outside everything
+        ],
+        "event_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 03:00:00")),
+            ("B", _ts("2024-01-01 02:00:00"), _ts("2024-01-01 05:00:00")),
+        ],
+        "interval_id string, start_ts timestamp, end_ts timestamp",
+    )
+    return events, intervals
+
+
+def test_interval_join_boundaries_and_overlap(spark, interval_frames):
+    events, intervals = interval_frames
+    out = bucketed_interval_join(
+        events, intervals, "ts", "start_ts", "end_ts", bucket_seconds=3600
+    )
+    pairs = sorted((r.event_id, r.interval_id) for r in out.collect())
+    assert pairs == [
+        (1, "A"),
+        (2, "A"), (2, "B"),
+        (3, "B"),  # half-open: not in A at its end bound
+        (4, "A"), (4, "B"),
+    ]
+
+
+def test_interval_join_no_dup_with_coarse_buckets(spark, interval_frames):
+    """bucket >> interval length: the whole interval lives in one or two
+    buckets; each (event, interval) pair must still appear exactly once."""
+    events, intervals = interval_frames
+    out = bucketed_interval_join(
+        events, intervals, "ts", "start_ts", "end_ts", bucket_seconds=86400
+    )
+    pairs = [(r.event_id, r.interval_id) for r in out.collect()]
+    assert len(pairs) == len(set(pairs)) == 6
+
+
+def test_interval_join_plan_is_equi_join(spark, interval_frames):
+    events, intervals = interval_frames
+    out = bucketed_interval_join(
+        events, intervals, "ts", "start_ts", "end_ts", bucket_seconds=3600
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        j in plan
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    ), plan
