@@ -892,6 +892,44 @@ def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pii_mapping_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's in-memory mapping table (deidentify.go:37-41)
+    materialized as data: every distinct (pii_type, original,
+    replacement) triple the scrub produced, via the recording Arrow UDF
+    + explode + ONE distinct shuffle (functions/scrub.py
+    mapping_audit_table).  Because replacements are pure in (key, type,
+    value) — SURVEY §0 — the distributed distinct IS the global mapping
+    table with no shared state.  PII is planted deterministically from
+    doc_id (same scheme as pii_stats_documents) so every detector class
+    contributes; the oracle is a frozen golden (HMAC replacements are
+    not SQL-expressible), determinism asserted at generation time."""
+    from deidentify_spark.functions.scrub import mapping_audit_table
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.example"),
+                ),
+            )
+            .when(
+                F.col("doc_id") % 3 == 1,
+                F.lit(" call (555) 123-4567 or +1 555 987 6543"),
+            )
+            .otherwise(F.lit(" ssn 123-45-6789 card 4111 1111 1111 1111")),
+        ),
+    )
+    return mapping_audit_table(planted, "text", SECRET_KEY).orderBy(
+        "pii_type", "original"
+    )
+
+
 def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """20-minute windows sliding by 10 minutes (each event in 2 windows)."""
     ev = _t(spark, sf_dir, "events")
@@ -1457,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": embedding_near_dups,
         "dedup_cap_lineage": dedup_cap_lineage,
         "orc_roundtrip_documents": orc_roundtrip_documents,
+        "pii_mapping_audit_documents": pii_mapping_audit_documents,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "minhash_incremental_documents": minhash_incremental_documents,
@@ -2495,6 +2534,14 @@ def oracle_sql() -> dict[str, str]:
         "scrub_documents_digest": _golden_values_sql(
             "scrub_digest_golden.json",
             [("doc_id", "BIGINT"), ("scrub_md5", "VARCHAR")],
+        ),
+        "pii_mapping_audit_documents": _golden_values_sql(
+            "pii_mapping_audit_golden.json",
+            [
+                ("pii_type", "VARCHAR"),
+                ("original", "VARCHAR"),
+                ("replacement", "VARCHAR"),
+            ],
         ),
         "table_scrub_customers": _golden_values_sql(
             "table_scrub_golden.json",

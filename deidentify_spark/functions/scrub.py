@@ -83,6 +83,60 @@ def scrub_udf(secret_key: str):
     return scrub
 
 
+_AUDIT_SCHEMA = "array<struct<pii_type:string,original:string,replacement:string>>"
+
+
+class RecordingDeidentifier(Deidentifier):
+    """Captures every (type, original, replacement) triple the scrub
+    produces — the reference's in-memory mapping table
+    (deidentify.go:37-41, setMapping 855-863) surfaced as data instead
+    of hidden state."""
+
+    def __init__(self, secret_key: str) -> None:
+        super().__init__(secret_key)
+        self.pairs: set[tuple[str, str, str]] = set()
+
+    def deidentify_value(self, value: str, data_type: str, column_name: str) -> str:
+        out = super().deidentify_value(value, data_type, column_name)
+        if value != "" and data_type != "generic":
+            self.pairs.add((data_type, value, out))
+        return out
+
+
+def mapping_audit_udf(secret_key: str):
+    """Arrow pandas UDF: text -> array of (pii_type, original,
+    replacement) triples found while scrubbing it.  Downstream
+    ``explode + distinct`` materializes the reference's mapping table
+    (SURVEY §1.1) as a distributed audit DataFrame — because
+    replacements are pure in (key, type, value) (§0), the distributed
+    distinct IS the global mapping table, no shared state needed."""
+
+    @F.pandas_udf(_AUDIT_SCHEMA)
+    def audit(text: pd.Series) -> pd.Series:
+        d = RecordingDeidentifier(secret_key)
+        out: list[list[tuple[str, str, str]]] = []
+        for t in text.tolist():
+            if t is None:
+                out.append([])
+                continue
+            d.pairs = set()
+            d.text(t)
+            out.append(sorted(d.pairs))
+        return pd.Series(out)
+
+    return audit
+
+
+def mapping_audit_table(df, text_col: str, secret_key: str):
+    """Materialize the global (pii_type, original, replacement) mapping
+    table for ``df[text_col]``: per-doc triples from the Arrow UDF, then
+    one explode + distinct (a single shuffle on the triple)."""
+    triples = df.select(
+        F.explode(mapping_audit_udf(secret_key)(F.col(text_col))).alias("m")
+    )
+    return triples.select("m.pii_type", "m.original", "m.replacement").distinct()
+
+
 def scrub_text_udf(secret_key: str):
     """Plain text-in/text-out scrub (no hit counts, no mask) — the
     Table/Slices per-column path and simple callers."""

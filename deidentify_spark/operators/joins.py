@@ -49,6 +49,7 @@ def asof_join(
     payload_cols: list[str],
     tie_col: str,
     payload_prefix: str = "ref_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """For every probe row, attach the payload of the latest reference
     row with the same ``keys`` and ``reference.ts <= probe.ts``
@@ -59,10 +60,19 @@ def asof_join(
     one with the greatest ``tie_col`` wins, matching
     ``ORDER BY ts DESC, tie DESC LIMIT 1``.
 
+    ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``): a
+    match older than the tolerance is discarded (NULL payload).  Applied
+    as a post-window filter, so it adds no plan nodes beyond one
+    conditional projection.
+
     Returns all probe columns plus ``{payload_prefix}{c}`` for each
     payload column.  Single hash shuffle on ``keys``; linear window scan.
     """
-    payload = F.struct(*[F.col(c) for c in payload_cols]).alias("_asof_payload")
+    # carry the reference ts inside the payload so the tolerance check
+    # can compare it against the probe ts after the fill-forward
+    payload = F.struct(
+        F.col(ts_col).alias("_asof_ref_ts"), *[F.col(c) for c in payload_cols]
+    ).alias("_asof_payload")
     ref = reference.select(
         *keys, ts_col, tie_col, payload, F.lit(1).alias("_asof_is_ref")
     )
@@ -85,6 +95,20 @@ def asof_join(
     matched = u.withColumn(
         "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
     ).where(F.col("_asof_is_ref") == 0)
+
+    if tolerance_seconds is not None:
+        # NTZ-safe: both casts shift by the same session offset, so the
+        # microsecond difference is the exact lag
+        lag_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
+            F.col("_asof_match._asof_ref_ts").cast("timestamp")
+        )
+        matched = matched.withColumn(
+            "_asof_match",
+            F.when(
+                lag_us <= F.lit(int(tolerance_seconds * 1_000_000)),
+                F.col("_asof_match"),
+            ),
+        )
 
     out_cols: list[Column] = [F.col(c) for c in probe.columns]
     out_cols += [

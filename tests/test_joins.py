@@ -61,6 +61,30 @@ def test_asof_backward_inclusive_tie_and_nulls(spark, asof_frames):
     assert out.count() == probe.count()
 
 
+def test_asof_tolerance_discards_stale_matches(spark, asof_frames):
+    """merge_asof-style tolerance: a match older than the window is
+    dropped to NULL, an at-or-under-tolerance match survives."""
+    probe, ref = asof_frames
+    out = asof_join(
+        probe,
+        ref,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id"],
+        tie_col="event_id",
+        payload_prefix="m_",
+        tolerance_seconds=1800,
+    )
+    rows = {r.event_id: r.m_event_id for r in out.collect()}
+    assert rows == {
+        1: 102,   # lag 0 <= 30 min
+        2: None,  # best match is 1h old -> discarded
+        3: None,
+        4: 201,   # lag 30 min, inclusive boundary survives
+        5: None,
+    }
+
+
 def test_asof_plan_has_no_join_node(spark, asof_frames):
     probe, ref = asof_frames
     out = asof_join(

@@ -140,6 +140,44 @@ def test_masked_scrub_udf_api(spark):
     assert rows[2].s.scrubbed_text is None and rows[2].s.pii_hits is None
 
 
+def test_mapping_audit_table_matches_scalar_oracle(spark):
+    """The materialized mapping table (functions/scrub.py
+    mapping_audit_table) must contain exactly the (type, original,
+    replacement) pairs the scalar oracle produces — replacement purity
+    (SURVEY §0) means the distributed distinct equals the reference's
+    in-memory mapping cache, including cross-document convergence of
+    identical originals."""
+    from deidentify_spark.functions.scrub import mapping_audit_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "Mail a@b.com or call (555) 123-4567"),
+            (2, "a@b.com again, plus SSN 123-45-6789"),  # shared email
+            (3, None),
+        ],
+        "id long, text string",
+    )
+    got = {
+        (r.pii_type, r.original, r.replacement)
+        for r in mapping_audit_table(df, "text", KEY).collect()
+    }
+    d = Deidentifier(KEY)
+    expected = {
+        ("email", "a@b.com", d.deidentify_value("a@b.com", "email", "email")),
+        (
+            "phone",
+            "(555) 123-4567",
+            d.deidentify_value("(555) 123-4567", "phone", "phone"),
+        ),
+        (
+            "ssn",
+            "123-45-6789",
+            d.deidentify_value("123-45-6789", "ssn", "ssn"),
+        ),
+    }
+    assert got == expected
+
+
 def test_toxicity_stage_opt_in(spark):
     """The opt-in toxicity gate: blocked docs get drop_reason='toxic'
     (overriding the fused stage, which never saw their text), kept docs
