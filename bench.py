@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "url_canonicalize_documents",
     "normalize_text_documents",
     "mixture_weights_documents",
+    "asof_join_events",
+    "interval_attribution_events",
     "scrub_documents",
 ]
 
