@@ -892,6 +892,40 @@ def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def asof_forward_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join (the mirror of asof_join_events):
+    every click matched to the EARLIEST view of the same user at or
+    after it, ties to the smallest event_id.  Exercises the
+    direction='forward' window (first over unbounded-following) against
+    the textbook forward LATERAL."""
+    from deidentify_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view")
+    res = asof_join(
+        clicks,
+        views,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "ts"],
+        tie_col="event_id",
+        payload_prefix="view_",
+        direction="forward",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        "view_event_id",
+        (
+            F.unix_micros(F.col("view_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("lead_us"),
+    ).orderBy("event_id")
+
+
 def pii_mapping_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's in-memory mapping table (deidentify.go:37-41)
     materialized as data: every distinct (pii_type, original,
@@ -1496,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cap_lineage": dedup_cap_lineage,
         "orc_roundtrip_documents": orc_roundtrip_documents,
         "pii_mapping_audit_documents": pii_mapping_audit_documents,
+        "asof_forward_events": asof_forward_events,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "minhash_incremental_documents": minhash_incremental_documents,
@@ -1903,6 +1938,20 @@ def oracle_sql() -> dict[str, str]:
                   AND v.event_type = 'view'
                   AND v.ts <= c.ts
                 ORDER BY v.ts DESC, v.event_id DESC LIMIT 1
+            ) v ON TRUE
+            WHERE c.event_type = 'click'
+            ORDER BY c.event_id
+        """,
+        "asof_forward_events": """
+            SELECT c.event_id, c.user_id, v.event_id AS view_event_id,
+                   epoch_us(v.ts) - epoch_us(c.ts) AS lead_us
+            FROM events c
+            LEFT JOIN LATERAL (
+                SELECT event_id, ts FROM events v
+                WHERE v.user_id = c.user_id
+                  AND v.event_type = 'view'
+                  AND v.ts >= c.ts
+                ORDER BY v.ts ASC, v.event_id ASC LIMIT 1
             ) v ON TRUE
             WHERE c.event_type = 'click'
             ORDER BY c.event_id

@@ -15,10 +15,15 @@ Scale posture
 Spark equi-join.  Here it is ONE shuffle: union the probe and reference
 rows (tagged), hash-partition by key, sort each partition by
 ``(ts, ref-first, tie)``, and fill the reference payload forward with
-``last(..., ignorenulls=True)`` over an unbounded-preceding row frame.
-Window sort+scan is linear per partition, so cost is the same shuffle a
-plain groupBy(key) would pay; skewed keys are bounded by the same AQE
+``last(..., ignorenulls=True)`` over an unbounded-preceding row frame
+(``direction='forward'`` mirrors this with ``first`` over an
+unbounded-following frame; ``'nearest'`` computes both over the same
+single exchange and picks the smaller absolute lag).  Window sort+scan
+is linear per partition, so cost is the same shuffle a plain
+groupBy(key) would pay; skewed keys are bounded by the same AQE
 skew-split that covers every other key shuffle in this repo (SCALE.md).
+Measured: 20M rows / 200k keys end-to-end in 9.4s at local[32]
+(docs/SCALE.md).
 
 ``bucketed_interval_join``: a raw ``ON e.ts BETWEEN i.start AND i.end``
 forces BroadcastNestedLoopJoin (fine only while intervals broadcast) or
@@ -41,6 +46,14 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "bucketed_interval_join"]
 
 
+def _lag_us(later: Column, earlier: Column) -> Column:
+    # NTZ-safe: both casts shift by the same session offset, so the
+    # microsecond difference is the exact lag
+    return F.unix_micros(later.cast("timestamp")) - F.unix_micros(
+        earlier.cast("timestamp")
+    )
+
+
 def asof_join(
     probe: DataFrame,
     reference: DataFrame,
@@ -50,26 +63,36 @@ def asof_join(
     tie_col: str,
     payload_prefix: str = "ref_",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every probe row, attach the payload of the latest reference
-    row with the same ``keys`` and ``reference.ts <= probe.ts``
-    (backward as-of, inclusive).  Probe rows with no prior reference get
-    NULL payloads (left as-of semantics).
+    """For every probe row, attach the payload of the reference row with
+    the same ``keys`` nearest in time on the requested side (left as-of
+    semantics — probe rows with no eligible reference get NULL payloads):
 
-    ``tie_col`` makes equal-timestamp reference rows deterministic: the
-    one with the greatest ``tie_col`` wins, matching
-    ``ORDER BY ts DESC, tie DESC LIMIT 1``.
+    - ``'backward'`` (default): latest reference with ``ref.ts <=
+      probe.ts``; equal-timestamp ties resolve to the greatest
+      ``tie_col`` (``ORDER BY ts DESC, tie DESC LIMIT 1``).
+    - ``'forward'``: earliest reference with ``ref.ts >= probe.ts``;
+      ties resolve to the smallest ``tie_col`` (``ORDER BY ts ASC, tie
+      ASC LIMIT 1``).
+    - ``'nearest'``: whichever of the two candidates has the smaller
+      absolute lag; an exact tie in lag resolves to the backward match.
 
     ``tolerance_seconds`` (pandas ``merge_asof(tolerance=...)``): a
-    match older than the tolerance is discarded (NULL payload).  Applied
-    as a post-window filter, so it adds no plan nodes beyond one
-    conditional projection.
+    candidate farther than the tolerance is discarded (NULL payload).
+    Applied per candidate before the nearest choice, as a conditional
+    projection — no extra plan nodes.
 
     Returns all probe columns plus ``{payload_prefix}{c}`` for each
-    payload column.  Single hash shuffle on ``keys``; linear window scan.
+    payload column.  Single hash shuffle on ``keys`` for every
+    direction (``'nearest'`` adds a second sort over the same exchange,
+    not a second shuffle); linear window scan.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction}")
+
     # carry the reference ts inside the payload so the tolerance check
-    # can compare it against the probe ts after the fill-forward
+    # and the nearest choice can compare it against the probe ts
     payload = F.struct(
         F.col(ts_col).alias("_asof_ref_ts"), *[F.col(c) for c in payload_cols]
     ).alias("_asof_payload")
@@ -84,31 +107,68 @@ def asof_join(
 
     u = prb.unionByName(ref, allowMissingColumns=True)
 
-    # refs sort BEFORE probes at equal ts (desc on the 1/0 tag) so the
-    # inclusive <= bound holds; among equal-ts refs the largest tie_col
-    # is the frame's last() and wins.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("_asof_is_ref").desc(), F.col(tie_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn(
-        "_asof_match", F.last("_asof_payload", ignorenulls=True).over(w)
-    ).where(F.col("_asof_is_ref") == 0)
+    def match_col(backward: bool) -> Column:
+        if backward:
+            # refs sort BEFORE probes at equal ts (desc on the 1/0 tag)
+            # so the inclusive <= bound holds; among equal-ts refs the
+            # largest tie_col is the frame's last() and wins.
+            w = (
+                Window.partitionBy(*keys)
+                .orderBy(
+                    F.col(ts_col).asc(),
+                    F.col("_asof_is_ref").desc(),
+                    F.col(tie_col).asc(),
+                )
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            return F.last("_asof_payload", ignorenulls=True).over(w)
+        # mirrored: refs sort AFTER probes at equal ts (asc tag) so the
+        # inclusive >= bound holds; among equal-ts refs the smallest
+        # tie_col is the frame's first() and wins.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(
+                F.col(ts_col).asc(),
+                F.col("_asof_is_ref").asc(),
+                F.col(tie_col).asc(),
+            )
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        return F.first("_asof_payload", ignorenulls=True).over(w)
+
+    matched = u
+    cand: list[str] = []
+    if direction in ("backward", "nearest"):
+        matched = matched.withColumn("_asof_b", match_col(True))
+        cand.append("_asof_b")
+    if direction in ("forward", "nearest"):
+        matched = matched.withColumn("_asof_f", match_col(False))
+        cand.append("_asof_f")
+    matched = matched.where(F.col("_asof_is_ref") == 0)
+
+    def abs_lag(c: str) -> Column:
+        if c == "_asof_b":
+            return _lag_us(F.col(ts_col), F.col(f"{c}._asof_ref_ts"))
+        return _lag_us(F.col(f"{c}._asof_ref_ts"), F.col(ts_col))
 
     if tolerance_seconds is not None:
-        # NTZ-safe: both casts shift by the same session offset, so the
-        # microsecond difference is the exact lag
-        lag_us = F.unix_micros(F.col(ts_col).cast("timestamp")) - F.unix_micros(
-            F.col("_asof_match._asof_ref_ts").cast("timestamp")
+        tol = F.lit(int(tolerance_seconds * 1_000_000))
+        for c in cand:
+            matched = matched.withColumn(
+                c, F.when(abs_lag(c) <= tol, F.col(c))
+            )
+
+    if direction == "nearest":
+        choice = (
+            F.when(F.col("_asof_b").isNull(), F.col("_asof_f"))
+            .when(F.col("_asof_f").isNull(), F.col("_asof_b"))
+            # exact lag tie resolves to the backward match (<=)
+            .when(abs_lag("_asof_f") < abs_lag("_asof_b"), F.col("_asof_f"))
+            .otherwise(F.col("_asof_b"))
         )
-        matched = matched.withColumn(
-            "_asof_match",
-            F.when(
-                lag_us <= F.lit(int(tolerance_seconds * 1_000_000)),
-                F.col("_asof_match"),
-            ),
-        )
+        matched = matched.withColumn("_asof_match", choice)
+    else:
+        matched = matched.withColumn("_asof_match", F.col(cand[0]))
 
     out_cols: list[Column] = [F.col(c) for c in probe.columns]
     out_cols += [

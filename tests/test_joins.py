@@ -61,6 +61,57 @@ def test_asof_backward_inclusive_tie_and_nulls(spark, asof_frames):
     assert out.count() == probe.count()
 
 
+def test_asof_forward_direction(spark, asof_frames):
+    """forward: earliest reference at-or-after each probe; equal-ts ties
+    resolve to the SMALLEST tie_col (mirror of backward)."""
+    probe, ref = asof_frames
+    out = asof_join(
+        probe, ref, ["user_id"], "ts", ["event_id"], "event_id",
+        payload_prefix="m_", direction="forward",
+    )
+    rows = {r.event_id: r.m_event_id for r in out.collect()}
+    assert rows == {
+        1: 101,   # ts-equal ref visible (inclusive), min tie wins
+        2: 103,   # next ref after 11:00
+        3: 101,   # earliest at-or-after 09:00
+        4: None,  # u20's only ref is before the probe
+        5: None,
+    }
+
+
+def test_asof_nearest_direction(spark, asof_frames):
+    """nearest: smaller absolute lag wins; exact lag tie -> backward."""
+    probe, ref = asof_frames
+    out = asof_join(
+        probe, ref, ["user_id"], "ts", ["event_id"], "event_id",
+        payload_prefix="m_", direction="nearest",
+    )
+    rows = {r.event_id: r.m_event_id for r in out.collect()}
+    assert rows == {
+        1: 102,   # 0-lag tie both sides -> backward winner (max tie 102)
+        2: 102,   # 1h back vs 1h forward -> tie -> backward
+        3: 101,   # only a forward candidate exists
+        4: 201,   # only a backward candidate exists
+        5: None,
+    }
+
+
+def test_asof_nearest_with_tolerance(spark, asof_frames):
+    probe, ref = asof_frames
+    out = asof_join(
+        probe, ref, ["user_id"], "ts", ["event_id"], "event_id",
+        payload_prefix="m_", direction="nearest", tolerance_seconds=1800,
+    )
+    rows = {r.event_id: r.m_event_id for r in out.collect()}
+    assert rows == {
+        1: 102,
+        2: None,  # both candidates 1h away > 30 min tolerance
+        3: None,  # forward candidate 1h away
+        4: 201,   # 30 min, inclusive boundary
+        5: None,
+    }
+
+
 def test_asof_tolerance_discards_stale_matches(spark, asof_frames):
     """merge_asof-style tolerance: a match older than the window is
     dropped to NULL, an at-or-under-tolerance match survives."""
