@@ -148,6 +148,20 @@ def test_asof_plan_has_no_join_node(spark, asof_frames):
     assert "Window" in plan  # single shuffle + linear window scan
 
 
+def test_asof_nearest_single_exchange(spark, asof_frames):
+    """nearest computes both direction candidates over ONE hash
+    exchange (two sorts/windows reuse the same partitioning) — the
+    scale posture documented in operators/joins.py."""
+    probe, ref = asof_frames
+    out = asof_join(
+        probe, ref, ["user_id"], "ts", ["event_id"], "event_id",
+        direction="nearest",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 2
+
+
 @pytest.fixture(scope="module")
 def interval_frames(spark):
     events = spark.createDataFrame(
