@@ -100,10 +100,14 @@ def nb_train(
             - F.log((F.col("c0") + alpha) / (F.col("n0") + alpha * n_buckets))
         ).alias("w"),
     )
+    # Prior log-odds, Laplace-smoothed like the feature weights: a
+    # single-class training set yields a large-but-finite bias instead
+    # of a ±Inf/NULL that would silently propagate NULL into every
+    # nb_score downstream.
     bias = labels.agg(
         F.log(
-            F.sum(F.when(F.col("_y"), 1).otherwise(0)).cast("double")
-            / F.sum(F.when(F.col("_y"), 0).otherwise(1))
+            (F.sum(F.when(F.col("_y"), 1).otherwise(0)) + F.lit(alpha))
+            / (F.sum(F.when(F.col("_y"), 0).otherwise(1)) + F.lit(alpha))
         ).alias("bias")
     )
     return weights, bias
@@ -193,8 +197,10 @@ def nb_oracle_sql(
             FROM counts, tot
         ),
         bias AS (
-            SELECT ln(SUM(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END)::DOUBLE
-                    / SUM(CASE WHEN ({label_expr}) THEN 0 ELSE 1 END)) AS bias
+            -- prior smoothed with the same alpha as the weights (twin
+            -- of nb_train's single-class-safe bias)
+            SELECT ln((SUM(CASE WHEN ({label_expr}) THEN 1 ELSE 0 END) + {alpha})
+                    / (SUM(CASE WHEN ({label_expr}) THEN 0 ELSE 1 END) + {alpha})) AS bias
             FROM {table} WHERE {train_where}
         ),
         sums AS (

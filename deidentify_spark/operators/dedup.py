@@ -207,6 +207,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = 512,
+    observation=None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) from banded minhash signatures.
 
@@ -227,13 +228,40 @@ def minhash_lsh_candidates(
     heavy synthetic docs: 9.6x10^8 candidate pairs, 485s mostly spent
     shuffling pairs through distinct(); 512 caps a bucket at ~1.3x10^5
     pairs and the same corpus mines in seconds (BASELINE.md round-4).
-    Capped buckets are dropped whole, mirroring standard LSH practice
-    (audit the dropped volume via minhash_lsh_dropped_buckets); pass
-    None only for bounded corpora. The registered driver query caps at
-    1000 with the identical QUALIFY filter in its DuckDB oracle.
+    Capped buckets are dropped whole, mirroring standard LSH practice;
+    pass None only for bounded corpora. The registered driver query caps
+    at 1000 with the identical QUALIFY filter in its DuckDB oracle.
+
+    The dropped volume is NEVER silent: whenever the cap is active the
+    plan carries a CollectMetrics (``observe``) node — computed inside
+    the same action, no extra job/shuffle — recording
+    (n_buckets_dropped, n_memberships_dropped, n_pairs_dropped) under
+    the metric name ``minhash_lsh_cap`` for every QueryExecutionListener
+    /event-log consumer. Pass an ``Observation`` as ``observation`` to
+    read the numbers directly on the driver after the first action
+    (pinned against the minhash_lsh_dropped_buckets audit query in
+    tests); that standalone audit aggregate remains for lineage tables.
+
+    Caveat (measured, Spark 4.1): if the WHOLE candidate output is
+    empty, AQE's empty-relation propagation replaces the plan —
+    CollectMetrics node included — with an EmptyRelation and the
+    observed metrics are never delivered (``Observation.get`` raises).
+    A globally-empty candidate set does not occur on real corpora (any
+    two docs sharing a band produce a row); exact audits should use
+    ``minhash_lsh_dropped_buckets`` regardless.
     """
     grouped = _minhash_buckets(df, n, k, bands, text_col, id_col)
     if max_bucket_size is not None:
+        m = F.size("ds").cast("bigint")
+        over = F.size("ds") > max_bucket_size
+        grouped = grouped.observe(
+            observation if observation is not None else "minhash_lsh_cap",
+            F.sum(F.when(over, 1).otherwise(0)).alias("n_buckets_dropped"),
+            F.sum(F.when(over, m).otherwise(0)).alias("n_memberships_dropped"),
+            F.sum(F.when(over, (m * (m - 1) / 2).cast("bigint")).otherwise(0)).alias(
+                "n_pairs_dropped"
+            ),
+        )
         grouped = grouped.where(F.size("ds") <= max_bucket_size)
     return _emit_bucket_pairs(grouped, "ds", "x as doc_a, y as doc_b").distinct()
 

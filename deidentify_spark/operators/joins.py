@@ -47,11 +47,14 @@ __all__ = ["asof_join", "bucketed_interval_join"]
 
 
 def _lag_us(later: Column, earlier: Column) -> Column:
-    # NTZ-safe: both casts shift by the same session offset, so the
-    # microsecond difference is the exact lag
-    return F.unix_micros(later.cast("timestamp")) - F.unix_micros(
-        earlier.cast("timestamp")
-    )
+    # Diff on the NATIVE type, no tz cast: on TIMESTAMP_NTZ this is the
+    # pure wall-clock microsecond difference (matching a DuckDB oracle's
+    # epoch_us over naive timestamps), on TIMESTAMP the exact physical
+    # difference. The previous cast-to-session-TIMESTAMP formulation
+    # shifted the two operands by DIFFERENT offsets when they straddled
+    # a DST transition in a non-UTC session timezone, corrupting
+    # tolerance checks and the nearest-side choice.
+    return F.timestamp_diff("MICROSECOND", earlier, later)
 
 
 def asof_join(

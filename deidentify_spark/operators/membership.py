@@ -120,7 +120,16 @@ def bloom_maybe_seen(
 
     return (
         df.crossJoin(F.broadcast(packed))
-        .withColumn(out_col, F.forall(pos, present))
+        # NULL input => NULL (membership of NULL is unknown) — stated
+        # explicitly so both probe variants agree byte-for-byte; the
+        # forall over an all-NULL position array happens to yield NULL
+        # too, but the join variant would not without its own guard.
+        .withColumn(
+            out_col,
+            F.when(F.col(col).isNull(), F.lit(None).cast("boolean")).otherwise(
+                F.forall(pos, present)
+            ),
+        )
         .drop("_bloom_map")
     )
 
@@ -164,7 +173,15 @@ def bloom_maybe_seen_join(
             ).alias(out_col)
         )
     )
-    return df.join(hits, id_col, "left")
+    # NULL input => NULL, matching bloom_maybe_seen (a NULL value's
+    # positions are all NULL, so the join would otherwise report a
+    # confident false).
+    return df.join(hits, id_col, "left").withColumn(
+        out_col,
+        F.when(F.col(col).isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.col(out_col)
+        ),
+    )
 
 
 def bloom_fp_estimate(n_items: int, m_bits: int, k: int) -> float:
@@ -200,8 +217,13 @@ def bloom_oracle_sql(
         ),
         probes AS ({probe_union})
         SELECT p.{id_col},
-               bool_and(w.word IS NOT NULL AND
-                        (w.word & (1::BIGINT << CAST(p.pos % {_WORD_BITS} AS INT))) <> 0
+               -- NULL value => NULL pos => CASE yields NULL, bool_and
+               -- skips NULLs, and an all-NULL group aggregates to NULL
+               -- (matching the Spark probes' NULL-input semantics)
+               bool_and(CASE WHEN p.pos IS NULL THEN NULL
+                        ELSE w.word IS NOT NULL AND
+                             (w.word & (1::BIGINT << CAST(p.pos % {_WORD_BITS} AS INT))) <> 0
+                        END
                ) AS maybe_seen
         FROM probes p
         LEFT JOIN bloom_words w ON (p.pos >> 5) = w.word_idx

@@ -213,10 +213,15 @@ def write_warc(
     def _write(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
         n = 0
-        tmp = path + ".inprogress"
+        # Attempt-unique temp name: a retried or speculative attempt of
+        # the same partition must not interleave writes into one file —
+        # each attempt writes privately, the atomic rename publishes
+        # last-writer-wins (either attempt's output is complete/valid).
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.inprogress"
         os.makedirs(out_dir, exist_ok=True)
         with open(tmp, "wb") as f:
             for pdf in batches:
@@ -226,6 +231,16 @@ def write_warc(
                     f.write(_gzip_member(rec) if per_record_gzip else rec)
                     n += 1
         os.replace(tmp, path)  # atomic publish
+        # best-effort sweep of orphaned temps from dead/losing attempts
+        # of THIS partition (safe post-publish: a still-running
+        # speculative twin is redundant once we've committed)
+        import glob
+
+        for stale in glob.glob(f"{path}.attempt-*.inprogress"):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         yield pd.DataFrame(
             {"warc_file": [path], "n_records": [n], "n_bytes": [os.path.getsize(path)]}
         )

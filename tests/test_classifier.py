@@ -58,6 +58,19 @@ def test_training_is_deterministic_across_partitioning(spark, pages):
     assert w2.exceptAll(w1).count() == 0
 
 
+def test_single_class_training_set_finite_bias(spark, pages):
+    """All-positive (or all-negative) training data must yield a finite
+    bias and non-NULL scores — the smoothed prior, not ±Inf/NULL."""
+    import math
+
+    w, b = nb_train(pages.where("doc_id < 1000 AND y"), "y")
+    bias = b.collect()[0][0]
+    assert bias is not None and math.isfinite(bias)
+    got = nb_score(pages.where("doc_id >= 3000").limit(20), w, b)
+    vals = [r.nb_score for r in got.collect()]
+    assert all(v is not None and math.isfinite(v) for v in vals)
+
+
 def test_featureless_doc_scores_bias(spark, pages):
     # null text yields ZERO feature rows (split(null) -> null array), so
     # the left-join fallback must surface bias alone, not null/NaN

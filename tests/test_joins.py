@@ -136,6 +136,38 @@ def test_asof_tolerance_discards_stale_matches(spark, asof_frames):
     }
 
 
+def test_asof_ntz_lag_is_wall_clock_across_dst(spark):
+    """TIMESTAMP_NTZ probe/ref straddling a DST transition under a
+    non-UTC session timezone: the lag must be the pure wall-clock
+    difference, independent of session tz.  The pre-fix formulation cast
+    both sides to session-local TIMESTAMP, shifting 01:30 (EST, -5) and
+    03:30 (EDT, -4) by different offsets so a 2h wall-clock lag measured
+    as 1h and wrongly survived a 1.5h tolerance."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        probe = spark.createDataFrame(
+            [(1, 10, _ts("2024-03-10 03:30:00"))],
+            "event_id long, user_id long, ts timestamp_ntz",
+        )
+        ref = spark.createDataFrame(
+            [(101, 10, _ts("2024-03-10 01:30:00"), 1.0)],
+            "event_id long, user_id long, ts timestamp_ntz, value double",
+        )
+        kw = dict(
+            keys=["user_id"], ts_col="ts", payload_cols=["event_id"],
+            tie_col="event_id", payload_prefix="m_",
+        )
+        # 2h wall-clock lag > 1.5h tolerance: discarded
+        out = asof_join(probe, ref, tolerance_seconds=5400, **kw)
+        assert out.collect()[0].m_event_id is None
+        # 2h wall-clock lag <= 2h tolerance: kept (boundary exact)
+        out = asof_join(probe, ref, tolerance_seconds=7200, **kw)
+        assert out.collect()[0].m_event_id == 101
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
 def test_asof_plan_has_no_join_node(spark, asof_frames):
     probe, ref = asof_frames
     out = asof_join(

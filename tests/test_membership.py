@@ -78,6 +78,21 @@ def test_join_probe_matches_broadcast_probe(spark, corpus):
     assert b.exceptAll(a).count() == 0
 
 
+def test_null_input_is_null_in_both_probes(spark, corpus):
+    """NULL text => maybe_seen NULL (membership of NULL is unknown) in
+    BOTH probe variants — the pinned equivalence must cover NULL rows,
+    where the join probe would otherwise report a confident false."""
+    build = corpus.where("rid % 2 = 0")
+    bloom = bloom_build(build, "text", M, K).persist()
+    with_null = corpus.limit(5).withColumn(
+        "text", F.when(F.col("rid") >= 0, F.lit(None).cast("string"))
+    )
+    a = bloom_maybe_seen(with_null, bloom, "text", M, K)
+    b = bloom_maybe_seen_join(with_null, bloom, "text", M, K, id_col="rid")
+    assert [r.maybe_seen for r in a.collect()] == [None] * 5
+    assert [r.maybe_seen for r in b.collect()] == [None] * 5
+
+
 def test_probe_plan_is_shuffle_free(spark, corpus):
     bloom = bloom_build(corpus, "text", M, K).persist()
     bloom.count()  # materialize so the probe plan starts from InMemory

@@ -521,6 +521,35 @@ def test_dedup_cap_lineage_counts(spark):
     none = minhash_lsh_dropped_buckets(df, max_bucket_size=1000).head()
     assert (none.n_buckets_dropped, none.n_pairs_dropped) == (0, 0)
 
+    # the cap is never silent: the candidate emitter itself carries a
+    # CollectMetrics node whose numbers match the standalone audit.
+    # (Needs a non-empty candidate output: AQE empty-relation
+    # propagation would otherwise erase the metrics node — the
+    # documented caveat in minhash_lsh_candidates.)
+    from pyspark.sql import Observation
+
+    from deidentify_spark.operators.dedup import minhash_lsh_candidates
+
+    long_doc = " ".join(GEN_SENTENCES["en"][:8])
+    pair_rows = [
+        (i, "common boilerplate text repeated everywhere always")
+        for i in range(12)  # 12-member buckets: dropped at cap 10
+    ]
+    pair_rows += [(100, long_doc), (101, long_doc + " extra tail.")]  # pair
+    pair_df = spark.createDataFrame(pair_rows, "doc_id long, text string")
+    obs = Observation()
+    out = minhash_lsh_candidates(pair_df, max_bucket_size=10, observation=obs)
+    assert out.count() > 0
+    mh2 = minhash_lsh_dropped_buckets(pair_df, max_bucket_size=10).head()
+    got = obs.get
+    assert got["n_buckets_dropped"] == mh2.n_buckets_dropped
+    assert got["n_memberships_dropped"] == mh2.n_memberships_dropped
+    assert got["n_pairs_dropped"] == mh2.n_pairs_dropped
+    assert got["n_buckets_dropped"] > 0  # the cap really dropped buckets
+    # default (no Observation passed): named metrics node in the plan
+    cand = minhash_lsh_candidates(df, max_bucket_size=4)
+    assert "minhash_lsh_cap" in cand._jdf.queryExecution().analyzed().toString()
+
 
 def test_semantic_dedup_subset_and_recall(spark):
     """SemDeDup pairs are a SUBSET of the exact all-pairs result (the
