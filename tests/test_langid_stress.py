@@ -53,6 +53,42 @@ def test_langid_hard_cases_accuracy():
     assert ok / n >= 0.8, misses
 
 
+def test_langid_out_of_set_rejected_or_below_gate():
+    """Languages OUTSIDE the supported set (fi/tr/vi/sv/pl) must come
+    back as 'und' (unknown) or with lang_conf below the 0.35 pipeline
+    gate — never as a confident in-set label (pre-fix worst case:
+    Vietnamese scored en at 0.556). Most cases should reject outright."""
+    from deidentify_spark.functions.langid import predict_batch
+
+    cases = json.loads((FIXTURES / "langid_stress.json").read_text())[
+        "out_of_set"
+    ]
+    preds, confs = predict_batch([c["text"] for c in cases])
+    bad = [
+        (c["lang"], p, round(cf, 3), c["text"][:40])
+        for p, cf, c in zip(preds, confs, cases)
+        if p != "und" and cf >= 0.35
+    ]
+    assert not bad, bad
+    # the rejection itself must fire on the measured majority (7/8) —
+    # a regression to conf-only leniency fails here
+    assert sum(p == "und" for p in preds) >= 6, preds
+
+
+def test_langid_in_set_never_rejected():
+    """The out-of-set rule must not reject ANY in-set stress case —
+    clean and hard predictions stay non-'und'."""
+    from deidentify_spark.functions.langid import predict_batch
+
+    fx = json.loads((FIXTURES / "langid_stress.json").read_text())
+    cases = fx["clean"] + fx["hard"]
+    preds, _ = predict_batch([c["text"] for c in cases])
+    rejected = [
+        (c["lang"], c["text"][:40]) for p, c in zip(preds, cases) if p == "und"
+    ]
+    assert not rejected, rejected
+
+
 def test_langid_fixture_is_not_in_training_pools():
     """The stress fixture must stay disjoint from every training /
     generator pool, or the check silently re-closes the loop."""
