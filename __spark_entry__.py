@@ -835,8 +835,9 @@ def interval_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join via the bucketed equi-join rewrite
     (operators/joins.py): 24 deliberately-OVERLAPPING campaign windows
     (start = 4h grid, length 3-7h) each count the events they contain.
-    The Spark plan is a hash equi-join on 1-hour time buckets plus a
-    residual range filter — no BroadcastNestedLoop, no cartesian — while
+    The Spark plan is a hash equi-join on auto-sized time buckets
+    (median interval length, in-plan approx percentile) plus a residual
+    range filter — no BroadcastNestedLoop, no cartesian — while
     the oracle is the plain THETA join ``ts >= start AND ts < end``.
     Overlap means most events land in 2 intervals, so any bucketing or
     boundary bug (inclusive/exclusive, straddling end-bucket) shifts
@@ -857,7 +858,9 @@ def interval_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("end_ts"),
     )
-    joined = bucketed_interval_join(ev, iv, "ts", "start_ts", "end_ts", 3600)
+    # auto-sized bucket width (median interval length via approx
+    # percentile, computed in-plan) — the default scale posture
+    joined = bucketed_interval_join(ev, iv, "ts", "start_ts", "end_ts")
     return (
         joined.groupBy("interval_id")
         .agg(
@@ -1410,7 +1413,17 @@ def approx_distinct_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def daily_order_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic window functions over the daily order series: lag, lead,
-    and a 7-row trailing moving average (SURVEY §2.F 'analytic')."""
+    and a 7-row trailing moving average (SURVEY §2.F 'analytic').
+
+    Scale note — the unpartitioned Window (Spark will WARN about a
+    single partition) is deliberate and bounded: it runs over the
+    POST-AGGREGATE daily series, whose cardinality is the number of
+    distinct calendar days (~2.4k for TPC-H's 7-year span, <40k for a
+    century), independent of order volume. The expensive work — the
+    groupBy(day) count over all orders — is a normal parallel
+    partial-agg shuffle; only the tiny day series funnels through one
+    task. Partitioning by year would shave nothing measurable and break
+    lag/lead/MA7 across year boundaries."""
     orders = _t(spark, sf_dir, "orders")
     daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
         F.count(F.lit(1)).alias("n_orders")

@@ -317,9 +317,11 @@ def line_dedup(
     3. removal positions fold to one small (id, drop_pos array) row per
        AFFECTED doc only (the sort-agg fallback for collect_set runs
        over just the duplicated-line rows, not the corpus);
-    4. a left join + ``F.filter(split(text), (x, i) -> ...)`` rewrites
-       affected docs in place from the original column — untouched docs
-       keep their text without ever being exploded back together.
+    4. a left join + hash-set position gather (array_except over the
+       position sequence, element_at from a barrier-materialized line
+       array — O(lines + dups) per doc, see the inline notes) rewrites
+       affected docs in place — untouched docs keep their text without
+       ever being exploded back together.
     """
     from pyspark.sql.window import Window
 
@@ -338,14 +340,41 @@ def line_dedup(
         F.collect_set("pos").alias("_drop_pos"),
         F.count(F.lit(1)).cast("int").alias("n_lines_removed"),
     )
-    out = df.join(removals, id_col, "left")
+    # O(lines + dups) rewrite: array_except builds the kept-position
+    # list through a hash set (one probe per position), then an O(1)
+    # element_at gather rebuilds the text from a MATERIALIZED line
+    # array. Both halves are load-bearing (measured, 20k-line doc with
+    # 10k corpus-duplicated lines): the old
+    # F.filter(arr, (x, i) -> ~array_contains(drop_pos, i)) scans the
+    # whole drop array per line — O(lines x dups), 8.3s/doc — and a
+    # naive gather re-evaluates the full split per element (no CSE
+    # inside HOF lambdas; 17.4s/doc). The explode(array(struct(...)))
+    # barrier is a Generate node CollapseProject cannot inline across,
+    # binding the split as an attribute WITHOUT the shuffle that
+    # _materialized_words pays (text still never rides an exchange):
+    # 0.9s/doc. array_except preserves first-array order, and positions
+    # are distinct by construction, so its dedup semantics are inert.
+    bar = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    *[F.col(c) for c in df.columns], arr.alias("_line_arr")
+                )
+            )
+        ).alias("_s")
+    ).select("_s.*")
+    out = bar.join(removals, id_col, "left")
     drop_pos = F.coalesce("_drop_pos", F.array().cast("array<int>"))
+    marr = F.col("_line_arr")
+    keep_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(marr) - F.lit(1)), drop_pos
+    )
     cleaned = F.array_join(
-        F.filter(arr, lambda x, i: ~F.array_contains(drop_pos, i)),
+        F.transform(keep_pos, lambda p: F.element_at(marr, p + F.lit(1))),
         line_sep,
     )
     return (
-        out.withColumn("n_lines", F.size(arr).cast("int"))
+        out.withColumn("n_lines", F.size(marr).cast("int"))
         .withColumn(
             "n_lines_removed", F.coalesce("n_lines_removed", F.lit(0))
         )
@@ -355,5 +384,5 @@ def line_dedup(
                 cleaned
             ),
         )
-        .drop("_drop_pos")
+        .drop("_drop_pos", "_line_arr")
     )

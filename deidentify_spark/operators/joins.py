@@ -181,31 +181,67 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def _median_interval_width(
+    intervals: DataFrame, start_col: str, end_col: str
+) -> DataFrame:
+    """One-row (``_rj_width``) DataFrame: the median interval length in
+    seconds (approx percentile, clamped to >= 1s) — the auto-sizing
+    aggregate for ``bucketed_interval_join``."""
+    return intervals.agg(
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.percentile_approx(
+                F.unix_timestamp(F.col(end_col))
+                - F.unix_timestamp(F.col(start_col)),
+                F.lit(0.5),
+            ).cast("long"),
+        ).alias("_rj_width")
+    )
+
+
 def bucketed_interval_join(
     events: DataFrame,
     intervals: DataFrame,
     ts_col: str,
     start_col: str,
     end_col: str,
-    bucket_seconds: int = 3600,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Inner-join ``events`` to every interval with
     ``start <= ts < end`` (half-open), as an equi-join on fixed-width
     time buckets plus a residual range filter.
 
     ``intervals`` may overlap arbitrarily — this is a genuine range
-    join, not a partitioning.  Pick ``bucket_seconds`` near the median
-    interval length: each interval explodes to ``ceil(len/bucket)+1``
-    rows, each event to exactly one, and the pair meets in exactly one
-    bucket so the output needs no distinct().
+    join, not a partitioning.  The right bucket width is near the
+    median interval length: each interval explodes to
+    ``ceil(len/bucket)+1`` rows, each event to exactly one, and the
+    pair meets in exactly one bucket so the output needs no
+    distinct().  By default (``bucket_seconds=None``) the width is
+    AUTO-SIZED to that median via a one-row approx-percentile
+    aggregate broadcast into both sides — fully lazy/in-plan (scalar
+    crossJoin, no driver action), so the O(len/bucket) explode bound
+    holds by construction at every interval-length regime instead of
+    depending on the caller guessing well (the semantic-dedup
+    ``n_clusters`` auto-sizing posture).  Pass an explicit
+    ``bucket_seconds`` only to pin the width (e.g. to co-tune with a
+    known event density).
 
     Returns events columns + intervals columns.
     """
-    b = F.lit(bucket_seconds).cast("long")
-    ev = events.withColumn(
+    if bucket_seconds is None:
+        width = F.broadcast(
+            _median_interval_width(intervals, start_col, end_col)
+        )
+        ev0 = events.crossJoin(width)
+        iv0 = intervals.crossJoin(width)
+        b = F.col("_rj_width")
+    else:
+        ev0, iv0 = events, intervals
+        b = F.lit(bucket_seconds).cast("long")
+    ev = ev0.withColumn(
         "_rj_bucket", (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
     )
-    iv = intervals.withColumn(
+    iv = iv0.withColumn(
         "_rj_bucket",
         F.explode(
             F.sequence(
@@ -216,7 +252,10 @@ def bucketed_interval_join(
             )
         ),
     )
-    joined = ev.join(iv, on="_rj_bucket", how="inner").where(
+    join_keys = (
+        ["_rj_bucket", "_rj_width"] if bucket_seconds is None else ["_rj_bucket"]
+    )
+    joined = ev.join(iv, on=join_keys, how="inner").where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     )
-    return joined.drop("_rj_bucket")
+    return joined.drop("_rj_bucket", "_rj_width")

@@ -241,6 +241,70 @@ def test_interval_join_no_dup_with_coarse_buckets(spark, interval_frames):
     assert len(pairs) == len(set(pairs)) == 6
 
 
+def test_interval_join_auto_width_matches_explicit(spark, interval_frames):
+    """Auto-sized bucket width (default) must return exactly the pairs
+    the explicit-width form returns."""
+    events, intervals = interval_frames
+    auto = bucketed_interval_join(events, intervals, "ts", "start_ts", "end_ts")
+    pairs = sorted((r.event_id, r.interval_id) for r in auto.collect())
+    assert pairs == [
+        (1, "A"), (2, "A"), (2, "B"), (3, "B"), (4, "A"), (4, "B"),
+    ]
+
+
+def test_interval_join_auto_width_bounds_explode_both_regimes(spark):
+    """The auto width tracks the median interval length, so the
+    per-interval explode factor stays O(1) at BOTH a short-interval
+    (minutes) and a long-interval (days) regime — the bound a fixed
+    default cannot give. Verified by reconstructing the explode with
+    the same width aggregate: <= 3 bucket rows per interval (uniform
+    lengths => ceil(len/median)+1 = 2, +1 slack for the seconds
+    rounding), and join results equal a brute-force theta join."""
+    from pyspark.sql import functions as F
+
+    from deidentify_spark.operators.joins import _median_interval_width
+
+    for n_iv, length_s, step_s in ((40, 300, 120), (40, 3 * 86400, 86400)):
+        base = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+        iv = spark.range(n_iv).select(
+            F.col("id").alias("interval_id"),
+            (base + F.make_interval(secs=(F.col("id") * step_s).cast("double"))).alias("start_ts"),
+            (base + F.make_interval(secs=(F.col("id") * step_s + length_s).cast("double"))).alias("end_ts"),
+        )
+        ev = spark.range(200).select(
+            F.col("id").alias("event_id"),
+            (base + F.make_interval(secs=(F.col("id") * (step_s // 2) + 7).cast("double"))).alias("ts"),
+        )
+        width = int(
+            _median_interval_width(iv, "start_ts", "end_ts").collect()[0][0]
+        )
+        assert abs(width - length_s) <= 1, (width, length_s)
+        n_bucket_rows = iv.select(
+            F.explode(
+                F.sequence(
+                    (F.unix_timestamp("start_ts") / width).cast("long"),
+                    (F.unix_timestamp("end_ts") / width).cast("long"),
+                )
+            )
+        ).count()
+        assert n_bucket_rows <= 3 * n_iv, (n_bucket_rows, n_iv)
+        got = sorted(
+            (r.event_id, r.interval_id)
+            for r in bucketed_interval_join(
+                ev, iv, "ts", "start_ts", "end_ts"
+            ).collect()
+        )
+        want = sorted(
+            (r.event_id, r.interval_id)
+            for r in ev.join(
+                iv,
+                (F.col("ts") >= F.col("start_ts"))
+                & (F.col("ts") < F.col("end_ts")),
+            ).collect()
+        )
+        assert got == want and got
+
+
 def test_interval_join_plan_is_equi_join(spark, interval_frames):
     events, intervals = interval_frames
     out = bucketed_interval_join(
