@@ -535,6 +535,30 @@ def dup_span_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_stats(docs, k=10, min_occ=2).orderBy("doc_id")
 
 
+def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring REMOVAL (Lee et al. ExactSubstr rewrite,
+    k-gram form; operators/curation.py remove_dup_spans): every maximal
+    duplicated token-10-gram span is cut from every doc containing one;
+    affected docs rebuild as space-joined kept words, untouched docs
+    pass through byte-identical. Output: per-doc word count, removed
+    count, md5 of the rewritten text — the oracle twin recomputes the
+    FULL span-merge + rewrite in SQL, so the digests pin the rebuilt
+    bytes, not just the counts."""
+    from deidentify_spark.operators.curation import remove_dup_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        remove_dup_spans(docs, k=10, min_occ=2)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_words_removed",
+            F.md5("cleaned_text").alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixing sample: keep 80% of src0-2, 25% of the
     rest, decided by u32(md5(seed:doc_id)) — a zero-shuffle map-only
@@ -1542,11 +1566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_documents": semantic_dedup_documents,
         "interval_attribution_events": interval_attribution_events,
         "dup_span_stats_documents": dup_span_stats_documents,
+        "remove_dup_spans_documents": remove_dup_spans_documents,
         "mixture_weights_documents": mixture_weights_documents,
-        "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         # ---- tail (past the driver's 50-query window this round): all
-        # 22 were green in the official CORRECTNESS_r04.json and remain
+        # were green in the official CORRECTNESS_r04.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
+        "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "decontaminate_documents": decontaminate_documents,
         "token_counts_documents": token_counts_documents,
@@ -2334,6 +2359,64 @@ def oracle_sql() -> dict[str, str]:
                    SUM(e - s)::BIGINT AS n_dup_tokens,
                    MAX(e - s)::BIGINT AS max_span_tokens
             FROM spans GROUP BY doc_id ORDER BY doc_id
+        """,
+        # twin of remove_dup_spans_documents: same span chain as
+        # dup_span_stats, then per-doc drop-position list + indexed
+        # list-comprehension rewrite (O(n*d) membership is fine at
+        # sf0.01). Affected docs rebuild from ORIGINAL-case words;
+        # untouched docs keep their text byte-identical.
+        "remove_dup_spans_documents": r"""
+            WITH words AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w,
+                       regexp_split_to_array(trim(text), '\s+') AS ow
+                FROM documents
+            ), grams AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(w[i:i+9], ' ') AS gram
+                FROM words, unnest(generate_series(1, len(w) - 9)) AS t(i)
+            ), marked AS (
+                SELECT doc_id, pos,
+                       COUNT(*) OVER (PARTITION BY gram) AS occ
+                FROM grams QUALIFY occ >= 2
+            ), isl AS (
+                SELECT doc_id, pos,
+                       MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_end
+                FROM marked
+            ), isl2 AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN prev_end IS NULL OR pos > prev_end
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM isl
+            ), spans AS (
+                SELECT doc_id, island, MIN(pos) AS s, MAX(pos + 10) AS e
+                FROM isl2 GROUP BY doc_id, island
+            ), drops AS (
+                -- spans are disjoint per doc, so COUNT(*) over the
+                -- exploded positions is exactly SUM(e - s)
+                SELECT doc_id,
+                       list(i ORDER BY i) AS dps,
+                       COUNT(*)::INT AS n_removed
+                FROM (SELECT doc_id, s, e FROM spans) sp,
+                     unnest(generate_series(sp.s, sp.e - 1)) AS g(i)
+                GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   len(w.ow)::INT AS n_words,
+                   COALESCE(d.n_removed, 0) AS n_words_removed,
+                   -- COALESCE: DuckDB's array_to_string([]) is NULL,
+                   -- a fully-removed doc must hash '' like Spark
+                   md5(CASE WHEN d.n_removed IS NULL THEN w.text
+                            ELSE COALESCE(array_to_string(
+                                [w.ow[i + 1]
+                                 for i in generate_series(0, len(w.ow) - 1)
+                                 if NOT list_contains(d.dps, i)], ' '), '')
+                       END) AS cleaned_md5
+            FROM words w LEFT JOIN drops d USING (doc_id)
+            ORDER BY w.doc_id
         """,
         "stratified_sample_documents": """
             SELECT doc_id, source

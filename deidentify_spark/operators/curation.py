@@ -75,46 +75,33 @@ def _positional_gram_hashes(
     return base.select(F.col(id_col), F.posexplode(ghs).alias("pos", "gh"))
 
 
-def dup_span_stats(
-    df: DataFrame,
-    k: int = 10,
-    min_occ: int = 2,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _dup_spans(
+    df: DataFrame, k: int, min_occ: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Per-doc duplicated-substring spans: every length-k token window
-    occurring >= min_occ times corpus-wide (within-doc repeats count)
-    marks [pos, pos+k); overlapping/adjacent marks merge into maximal
-    spans. Returns (id, n_dup_spans, n_dup_tokens, max_span_tokens) for
-    docs that have at least one duplicated span.
+    """(id, island, s, e) maximal duplicated word-spans [s, e) — the
+    shared core of ``dup_span_stats`` (reporting) and
+    ``remove_dup_spans`` (rewrite).
 
-    Gram identity is xxhash64 over the k word columns, not the joined
-    string — the window shuffles 8 bytes per position instead of ~60
-    and no gram string is ever built. A 64-bit collision
-    merges two grams' occurrence counts (p ~ n^2/2^65 — at 10^9 distinct
-    grams ~3% chance of ONE collision corpus-wide, which can only
-    over-mark k tokens); the DuckDB twin groups the strings, identical
-    modulo that negligible class.
+    Aggregate-then-join — the two rejected shapes, both MEASURED at
+    100k pages x ~190 grams/doc:
+    * count-over-window sorts the ENTIRE gram table by gh and OOMs 32
+      concurrent 1-GiB-heap sort tasks (counting needs no sort);
+    * group-collect-filter-explode (the minhash-bucket idiom) hits
+      ObjectHashAggregate's sort-based fallback (it triggers at 128
+      distinct keys; gram keys are millions) — the same full sort.
+    Here the duplicated-gram KEY SET comes from a codegen
+    HashAggregate count (spill-safe, no row wider than 16 bytes) and
+    joins back onto the grams; AQE broadcasts it when small (39k keys
+    on the worst-case synthetic corpus vs 1.4M distinct) and falls
+    back to a shuffle join when boilerplate makes it huge. At RUNTIME
+    AQE reuses the materialization exchange across the two branches
+    (ReusedExchange in the executed FINAL plan; it is invisible on
+    the pre-execution plan string — an unexecuted plan copy misled an
+    earlier version of this comment), so the text shuffle and the
+    split run ONCE; only the cheap post-shuffle gram hashing repeats
+    per branch.
     """
     grams = _positional_gram_hashes(df, k, text_col, id_col)
-    # Aggregate-then-join — the two rejected shapes, both MEASURED at
-    # 100k pages x ~190 grams/doc:
-    # * count-over-window sorts the ENTIRE gram table by gh and OOMs 32
-    #   concurrent 1-GiB-heap sort tasks (counting needs no sort);
-    # * group-collect-filter-explode (the minhash-bucket idiom) hits
-    #   ObjectHashAggregate's sort-based fallback (it triggers at 128
-    #   distinct keys; gram keys are millions) — the same full sort.
-    # Here the duplicated-gram KEY SET comes from a codegen
-    # HashAggregate count (spill-safe, no row wider than 16 bytes) and
-    # joins back onto the grams; AQE broadcasts it when small (39k keys
-    # on the worst-case synthetic corpus vs 1.4M distinct) and falls
-    # back to a shuffle join when boilerplate makes it huge. At RUNTIME
-    # AQE reuses the materialization exchange across the two branches
-    # (ReusedExchange in the executed FINAL plan; it is invisible on
-    # the pre-execution plan string — an unexecuted plan copy misled an
-    # earlier version of this comment), so the text shuffle and the
-    # split run ONCE; only the cheap post-shuffle gram hashing repeats
-    # per branch.
     dup_gh = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("occ"))
@@ -136,13 +123,110 @@ def dup_span_stats(
         .over(by_pos)
         .alias("island"),
     )
-    spans = islands.groupBy(id_col, "island").agg(
+    return islands.groupBy(id_col, "island").agg(
         F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
     )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    k: int = 10,
+    min_occ: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc duplicated-substring spans: every length-k token window
+    occurring >= min_occ times corpus-wide (within-doc repeats count)
+    marks [pos, pos+k); overlapping/adjacent marks merge into maximal
+    spans. Returns (id, n_dup_spans, n_dup_tokens, max_span_tokens) for
+    docs that have at least one duplicated span.
+
+    Gram identity is xxhash64 over the k word columns, not the joined
+    string — the window shuffles 8 bytes per position instead of ~60
+    and no gram string is ever built. A 64-bit collision
+    merges two grams' occurrence counts (p ~ n^2/2^65 — at 10^9 distinct
+    grams ~3% chance of ONE collision corpus-wide, which can only
+    over-mark k tokens); the DuckDB twin groups the strings, identical
+    modulo that negligible class.
+    """
+    spans = _dup_spans(df, k, min_occ, text_col, id_col)
     return spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("n_dup_tokens"),
         F.max(F.col("e") - F.col("s")).alias("max_span_tokens"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_occ: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level duplicated-substring REMOVAL — the rewrite step of
+    Lee et al. 2021's ExactSubstr dedup in this repo's k-gram form:
+    every maximal duplicated span found by the ``dup_span_stats``
+    machinery is cut from EVERY document containing one (remove-all,
+    matching the released deduplicate-text-datasets behavior of cutting
+    each duplicated byte range, and ``line_dedup``'s boilerplate
+    posture).
+
+    Returns the input plus ``n_words``, ``n_words_removed`` and
+    ``cleaned_text``. Affected docs are rebuilt as the space-joined
+    kept words (the operator's word-level normal form — original
+    inter-word whitespace is not preserved); untouched docs pass
+    through byte-identical.
+
+    Scale shape: span detection is ``_dup_spans``' aggregate-then-join
+    chain (document text never rides that shuffle — 8-byte gram hashes
+    do); removal folds the disjoint spans to one (id, drop-positions)
+    row per AFFECTED doc only, and the rewrite is ``line_dedup``'s
+    O(words + drops) hash-set position gather from a
+    barrier-materialized word array. The rewrite array keeps the
+    ORIGINAL case (split positions are identical to the lowered
+    detection tokenization — lowering never changes whitespace).
+    """
+    from deidentify_spark.functions.text_stats import RE2_WS_CLASS
+
+    spans = _dup_spans(df, k, min_occ, text_col, id_col)
+    removals = spans.groupBy(id_col).agg(
+        F.flatten(
+            F.collect_list(F.sequence(F.col("s"), F.col("e") - 1))
+        ).alias("_drop_pos"),
+        F.sum(F.col("e") - F.col("s")).cast("int").alias("n_words_removed"),
+    )
+    arr = F.split(F.trim(F.col(text_col)), RE2_WS_CLASS + "+")
+    bar = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    *[F.col(c) for c in df.columns], arr.alias("_word_arr")
+                )
+            )
+        ).alias("_s")
+    ).select("_s.*")
+    out = bar.join(removals, id_col, "left")
+    marr = F.col("_word_arr")
+    drop_pos = F.coalesce("_drop_pos", F.array().cast("array<int>"))
+    keep_pos = F.array_except(
+        F.sequence(F.lit(0), F.size(marr) - F.lit(1)), drop_pos
+    )
+    cleaned = F.array_join(
+        F.transform(keep_pos, lambda p: F.element_at(marr, p + F.lit(1))), " "
+    )
+    return (
+        out.withColumn("n_words", F.size(marr).cast("int"))
+        .withColumn(
+            "n_words_removed", F.coalesce("n_words_removed", F.lit(0))
+        )
+        .withColumn(
+            "cleaned_text",
+            F.when(F.col("n_words_removed") == 0, F.col(text_col)).otherwise(
+                cleaned
+            ),
+        )
+        .drop("_drop_pos", "_word_arr")
     )
 
 

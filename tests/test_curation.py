@@ -246,6 +246,60 @@ def test_line_dedup_threshold_and_empty(spark):
     assert out2[2].cleaned_text == "" and out2[2].n_lines == 1
 
 
+def test_remove_dup_spans_rewrite_and_passthrough(spark):
+    """ExactSubstr removal: the shared 12-word block (k=10 grams
+    duplicated across docs) is cut from BOTH docs (remove-all); the
+    rebuilt text is the space-joined kept words in original case;
+    untouched docs pass through byte-identical."""
+    from deidentify_spark.operators.curation import remove_dup_spans
+
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [
+        (1, "s", f"Alpha beta {shared} gamma delta end one two three"),
+        (2, "s", f"Start {shared} finish line now okay yes"),
+        (3, "s", "totally unique content with no duplicated windows here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in remove_dup_spans(df, k=10, min_occ=2).collect()}
+    assert out[1].cleaned_text == "Alpha beta gamma delta end one two three"
+    assert (out[1].n_words, out[1].n_words_removed) == (20, 12)
+    assert out[2].cleaned_text == "Start finish line now okay yes"
+    assert out[3].cleaned_text == rows[2][2]  # byte-identical
+    assert out[3].n_words_removed == 0
+    # within-doc repetition alone also triggers (min_occ counts all
+    # occurrences corpus-wide, including same-doc)
+    rep = " ".join(f"x{i}" for i in range(10))
+    df2 = spark.createDataFrame(
+        [(1, "s", f"{rep} middle words here {rep}")],
+        "doc_id long, source string, text string",
+    )
+    r = remove_dup_spans(df2, k=10, min_occ=2).collect()[0]
+    assert r.cleaned_text == "middle words here"
+    assert r.n_words_removed == 20
+
+
+def test_remove_dup_spans_counts_match_stats(spark):
+    """n_words_removed must equal dup_span_stats' n_dup_tokens doc by
+    doc — the two operators share one span core."""
+    from deidentify_spark.operators.curation import (
+        dup_span_stats,
+        remove_dup_spans,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = {
+        r.doc_id: r.n_dup_tokens
+        for r in dup_span_stats(df, k=10, min_occ=2).collect()
+    }
+    removed = {
+        r.doc_id: r.n_words_removed
+        for r in remove_dup_spans(df, k=10, min_occ=2)
+        .where("n_words_removed > 0")
+        .collect()
+    }
+    assert removed and removed == stats
+
+
 def test_line_dedup_boilerplate_heavy_doc_bounded(spark):
     """The rewrite must be O(lines + dups) per doc, not O(lines x dups):
     a 20k-line doc with 10k corpus-duplicated lines rewrites in ~1s
