@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "dedup_exact_documents",
     "ngram_jaccard_near_dups",
     "dup_span_stats_documents",
+    "remove_dup_spans_documents",
     "decontaminate_documents",
     "minhash_lsh_candidates_documents",
     "simhash_near_dups_documents",

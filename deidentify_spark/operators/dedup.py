@@ -322,7 +322,8 @@ def minhash_lsh_candidates_incremental(
     bands: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_bucket_size: int = 10000,
+    max_bucket_size: int = 512,
+    observation=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup candidates for a NEW crawl batch against itself AND the
     already-processed corpus — the snapshot-N+1 shape: prior snapshots
@@ -347,11 +348,28 @@ def minhash_lsh_candidates_incremental(
     per-snapshot memberships == full-corpus membership (signatures are
     per-doc), so incremental candidates == the one-shot operator's
     pairs restricted to >=1 new id, pinned by test.
+
+    The default cap matches ``minhash_lsh_candidates`` (512, the
+    measured-at-500k-docs default — see that docstring), and the
+    within-batch drop volume rides the same CollectMetrics posture:
+    a ``minhash_lsh_incremental_cap`` observe node (or the passed
+    ``observation``) — never silent. Store-side hot signatures are
+    additionally counted under ``minhash_lsh_incremental_store_hot``.
     """
     mem_new = _minhash_band_membership(new_df, n, k, bands, text_col, id_col)
 
     within_buckets = mem_new.groupBy("band", "sig").agg(
         F.sort_array(F.collect_list(id_col)).alias("ds")
+    )
+    m = F.size("ds").cast("bigint")
+    over = F.size("ds") > max_bucket_size
+    within_buckets = within_buckets.observe(
+        observation if observation is not None else "minhash_lsh_incremental_cap",
+        F.sum(F.when(over, 1).otherwise(0)).alias("n_buckets_dropped"),
+        F.sum(F.when(over, m).otherwise(0)).alias("n_memberships_dropped"),
+        F.sum(F.when(over, (m * (m - 1) / 2).cast("bigint")).otherwise(0)).alias(
+            "n_pairs_dropped"
+        ),
     )
     within = _emit_bucket_pairs(
         within_buckets.where(F.size("ds") <= max_bucket_size),
@@ -365,6 +383,9 @@ def minhash_lsh_candidates_incremental(
         .agg(F.count(F.lit(1)).alias("_m"))
         .where(F.col("_m") > max_bucket_size)
         .select("band", "sig")
+    ).observe(
+        "minhash_lsh_incremental_store_hot",
+        F.count(F.lit(1)).alias("n_store_hot_signatures"),
     )
     safe_store = store_mem.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     nm = mem_new.select(
