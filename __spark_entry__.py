@@ -559,6 +559,44 @@ def remove_dup_spans_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023; operators/dsir.py):
+    score every doc with the hashed-uni+bigram log-likelihood ratio of a
+    target-domain model (en docs from src1-3) vs the raw-corpus model,
+    then mark the Gumbel-top-100 weighted sample — distributed weighted
+    sampling WITHOUT replacement, hash-seeded so the oracle twin
+    replays the exact same draw. One feature aggregation + one
+    broadcast-scored groupBy(id); threshold via TakeOrdered top-k."""
+    from deidentify_spark.operators.dsir import dsir_select
+
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "_is_target",
+        (F.col("lang") == "en") & F.col("source").isin("src1", "src2", "src3"),
+    )
+    return (
+        dsir_select(flagged, "_is_target", k=100, seed=0)
+        .select(
+            "doc_id",
+            F.round("dsir_logw", 4).alias("dsir_logw"),
+            "dsir_selected",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 keyword retrieval (Robertson & Zaragoza 2009, Lucene
+    idf; operators/search.py) for the query {hash, join, vector} — the
+    lexical audit-search companion to the embedding ANN queries. Plan:
+    explode->filter to the 3 query terms immediately, one (doc,term,tf)
+    shuffle, broadcast idf + corpus stats, TakeOrdered top-k."""
+    from deidentify_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["hash", "join", "vector"], k=15)
+
+
 def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic data-mixing sample: keep 80% of src0-2, 25% of the
     rest, decided by u32(md5(seed:doc_id)) — a zero-shuffle map-only
@@ -1565,12 +1603,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,
         "semantic_dedup_documents": semantic_dedup_documents,
         "interval_attribution_events": interval_attribution_events,
-        "dup_span_stats_documents": dup_span_stats_documents,
         "remove_dup_spans_documents": remove_dup_spans_documents,
-        "mixture_weights_documents": mixture_weights_documents,
+        # ---- NEW round 5: certified in this round's driver window
+        # (displacing dup_span_stats + mixture_weights to the tail —
+        # both were officially green in CORRECTNESS_r04.json)
+        "dsir_selection_documents": dsir_selection_documents,
+        "bm25_search_documents": bm25_search_documents,
         # ---- tail (past the driver's 50-query window this round): all
         # were green in the official CORRECTNESS_r04.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
+        "dup_span_stats_documents": dup_span_stats_documents,
+        "mixture_weights_documents": mixture_weights_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
         "pack_sequences_documents": pack_sequences_documents,
         "decontaminate_documents": decontaminate_documents,
@@ -1921,6 +1964,17 @@ def oracle_sql() -> dict[str, str]:
         "nb_classifier_documents": __import__(
             "deidentify_spark.operators.classifier", fromlist=["nb_oracle_sql"]
         ).nb_oracle_sql("documents", "doc_id < 250", "lang = 'en'"),
+        "dsir_selection_documents": __import__(
+            "deidentify_spark.operators.dsir", fromlist=["dsir_oracle_sql"]
+        ).dsir_oracle_sql(
+            "documents",
+            "lang = 'en' AND source IN ('src1', 'src2', 'src3')",
+            k=100,
+            seed=0,
+        ),
+        "bm25_search_documents": __import__(
+            "deidentify_spark.operators.search", fromlist=["bm25_oracle_sql"]
+        ).bm25_oracle_sql("documents", ["hash", "join", "vector"], k=15),
         "bloom_membership_documents": __import__(
             "deidentify_spark.operators.membership", fromlist=["bloom_oracle_sql"]
         ).bloom_oracle_sql("documents", "doc_id < 250", m_bits=2048, k=3),

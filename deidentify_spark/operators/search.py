@@ -1,0 +1,155 @@
+"""BM25 top-k text search (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond"; idf form is
+Lucene's non-negative ``ln(1 + (N - df + 0.5)/(df + 0.5))``) — the
+text-side companion to the embedding ANN operators
+(operators/similarity.py): keyword retrieval over the document corpus
+without any index build, as a pure DataFrame plan.
+
+No counterpart in the reference (aliengiraffe/deidentify is a PII
+scrubber); §2.G training-data-pipeline surface — corpus search is how
+pipeline operators audit what a filter kept ("show me the docs about
+X that survived"), and BM25 is the standard lexical baseline next to
+embedding retrieval.
+
+Scale posture
+-------------
+The classic formulation builds an inverted index; the Spark-native
+equivalent notes that for a GIVEN query only ``|Q|`` postings lists
+matter, so the plan filters the exploded token stream to the query
+terms IMMEDIATELY (predicate on the generator output — everything
+else never reaches a shuffle), aggregates (doc, term) term
+frequencies with map-side combine, broadcasts the O(|Q|)-row idf
+table and the 2-value corpus stats (N, avgdl), and finishes with one
+partial-aggregated groupBy(doc) sum and a TakeOrderedAndProject
+top-k (distributed heap, no global sort). Total cost: two linear
+scans (tokens + corpus stats) and ONE shuffle of (doc, term, tf)
+rows for just the matching terms. No UDFs, no index, no driver-side
+state; repeated-query workloads would persist the tf aggregate, but
+the one-shot plan is already index-free-optimal for batch audits.
+
+Tokenization is the repo-pinned RE2 whitespace class over
+lower(trim(text)) — identical in the DuckDB oracle twin. The split
+is evaluated twice per doc (once for dl, once for the explode);
+that's a constant factor 2 on the scan, not the HOF re-split blowup
+_materialized_words guards against (no per-element lambda here), and
+skipping the barrier saves its full-text repartition shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from deidentify_spark.functions.text_stats import RE2_WS_CLASS
+
+__all__ = ["bm25_topk", "bm25_oracle_sql"]
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` docs by BM25 score for a bag of query terms:
+    ``(id_col, bm25)`` ordered by rounded score desc, id asc.
+
+    score(d) = sum over matched terms t of
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    idf(t) = ln(1 + (N - df_t + 0.5)/(df_t + 0.5)).
+
+    Docs containing none of the terms never enter the ranking (a
+    score-0 tail is noise, not a result). Terms are matched
+    lowercase-exact against whitespace tokens.
+    """
+    terms = sorted({t.lower() for t in query_terms})
+    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
+    toks = df.select(
+        F.col(id_col),
+        F.size(words).alias("_dl"),
+        F.explode(words).alias("_term"),
+    ).where(F.col("_term").isin(terms))
+    tf = toks.groupBy(id_col, "_dl", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(F.size(words)).alias("_avgdl")
+    )
+    idf = (
+        tf.groupBy("_term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_term",
+            F.log(
+                1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ).alias("_idf"),
+            "_avgdl",
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "_term").withColumn(
+        "_s",
+        F.col("_idf")
+        * (F.col("_tf") * (k1 + 1.0))
+        / (
+            F.col("_tf")
+            + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), id_col)
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    table: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of bm25_topk: same tokenization, idf form, and
+    rounded-score-then-id ordering (ties in the ROUNDED score resolve
+    identically on both engines)."""
+    terms = sorted({t.lower() for t in query_terms})
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    words = (
+        f"regexp_split_to_array(lower(trim({text_col}, ' ')), '[ \\t\\n\\f\\r]+')"
+    )
+    return f"""
+        WITH docs AS (SELECT {id_col}, {words} AS w FROM {table}),
+        toks AS (
+            SELECT {id_col}, len(w) AS dl, unnest(w) AS term FROM docs
+        ),
+        tf AS (
+            SELECT {id_col}, dl, term, COUNT(*) AS tf
+            FROM toks WHERE term IN ({in_list})
+            GROUP BY {id_col}, dl, term
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM docs),
+        idf AS (
+            SELECT term,
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+        ),
+        scored AS (
+            SELECT t.{id_col},
+                   SUM(i.idf * (t.tf * ({k1} + 1.0))
+                       / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / i.avgdl))) AS s
+            FROM tf t JOIN idf i USING (term)
+            GROUP BY t.{id_col}
+        )
+        SELECT {id_col}, ROUND(s, 4) AS bm25
+        FROM scored
+        ORDER BY ROUND(s, 4) DESC, {id_col}
+        LIMIT {k}
+    """

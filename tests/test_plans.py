@@ -306,3 +306,30 @@ def test_semantic_dedup_cap_filters_before_pandas(spark):
     # the size filter feeding the join is a codegen aggregate over the
     # assignment, not a second pandas stage
     assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_dsir_reuses_scoring_exchanges(spark):
+    """dsir_select derives both the Gumbel-top-k threshold and the
+    output from the same scoring subplan; compile-time explain shows
+    the subtree twice, but at RUNTIME AQE must stitch the branches
+    together with ReusedExchange so the feature explode + scoring
+    shuffles execute ONCE. Scalar one-row broadcasts (totals, kth) are
+    the sanctioned BroadcastNestedLoopJoin sites; no cartesian."""
+    df = entry_mod.dsir_selection_documents(spark, SF)
+    df.collect()
+    final = _plan(df)
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final, "DSIR scoring subplan ran twice"
+    assert "CartesianProduct" not in final
+
+
+def test_bm25_plan_shape(spark):
+    """BM25's inverted-index-free plan: the idf table and corpus stats
+    broadcast (O(|Q|) rows / one row), the only corpus-sized shuffle is
+    the (doc, term, tf) aggregate over tokens already filtered to the
+    query terms, and the top-k is a TakeOrderedAndProject (distributed
+    heap), never a global Sort."""
+    plan = _plan(entry_mod.bm25_search_documents(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
