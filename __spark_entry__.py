@@ -585,6 +585,22 @@ def dsir_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (operators/sharding.py):
+    hash-seeded corpus shuffle into 8 shards + within-shard position —
+    the replayable terminal sharding step of a training-data pipeline.
+    Map-only shard key (uniform by md5), one shard shuffle for the
+    position window."""
+    from deidentify_spark.operators.sharding import assign_shards
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        assign_shards(docs, n_shards=8, seed=42)
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
+    )
+
+
 def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 keyword retrieval (Robertson & Zaragoza 2009, Lucene
     idf; operators/search.py) for the query {hash, join, vector} — the
@@ -1602,16 +1618,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cc_clusters_documents": dedup_cc_clusters_documents,
         "asof_join_events": asof_join_events,
         "semantic_dedup_documents": semantic_dedup_documents,
-        "interval_attribution_events": interval_attribution_events,
         "remove_dup_spans_documents": remove_dup_spans_documents,
         # ---- NEW round 5: certified in this round's driver window
-        # (displacing dup_span_stats + mixture_weights to the tail —
-        # both were officially green in CORRECTNESS_r04.json)
+        # (displacing dup_span_stats + mixture_weights +
+        # interval_attribution to the tail — all three were officially
+        # green in CORRECTNESS_r04.json)
         "dsir_selection_documents": dsir_selection_documents,
         "bm25_search_documents": bm25_search_documents,
+        "shard_assignment_documents": shard_assignment_documents,
         # ---- tail (past the driver's 50-query window this round): all
         # were green in the official CORRECTNESS_r04.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
+        "interval_attribution_events": interval_attribution_events,
         "dup_span_stats_documents": dup_span_stats_documents,
         "mixture_weights_documents": mixture_weights_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
@@ -1975,6 +1993,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search_documents": __import__(
             "deidentify_spark.operators.search", fromlist=["bm25_oracle_sql"]
         ).bm25_oracle_sql("documents", ["hash", "join", "vector"], k=15),
+        "shard_assignment_documents": __import__(
+            "deidentify_spark.operators.sharding", fromlist=["shards_oracle_sql"]
+        ).shards_oracle_sql("documents", n_shards=8, seed=42),
         "bloom_membership_documents": __import__(
             "deidentify_spark.operators.membership", fromlist=["bloom_oracle_sql"]
         ).bloom_oracle_sql("documents", "doc_id < 250", m_bits=2048, k=3),

@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "mixture_weights_documents",
     "asof_join_events",
     "interval_attribution_events",
+    "dsir_selection_documents",
+    "bm25_search_documents",
+    "shard_assignment_documents",
     "scrub_documents",
 ]
 

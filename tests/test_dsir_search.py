@@ -129,3 +129,47 @@ def test_bm25_k_limit_and_order(spark):
     assert len(rows) == 3
     assert [r.doc_id for r in rows] == [7, 6, 5]
     assert rows[0].bm25 >= rows[1].bm25 >= rows[2].bm25
+
+
+# --- deterministic shard assignment (operators/sharding.py) -----------
+
+
+def test_assign_shards_deterministic_and_complete(spark):
+    from deidentify_spark.operators.sharding import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    a = assign_shards(df, n_shards=8, seed=1).select(
+        "doc_id", "shard", "shard_pos"
+    )
+    rows = {r.doc_id: (r.shard, r.shard_pos) for r in a.collect()}
+    again = {
+        r.doc_id: (r.shard, r.shard_pos)
+        for r in assign_shards(df, n_shards=8, seed=1)
+        .select("doc_id", "shard", "shard_pos")
+        .collect()
+    }
+    assert rows == again  # replayable across plans/retries
+    # every doc assigned, shards in range, positions are 1..n_s per shard
+    assert len(rows) == 500
+    by_shard = {}
+    for s, p in rows.values():
+        assert 0 <= s < 8
+        by_shard.setdefault(s, []).append(p)
+    for s, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), s
+    # uniformity sanity: no shard is empty or >2x the mean at n=500
+    sizes = [len(ps) for ps in by_shard.values()]
+    assert len(sizes) == 8 and max(sizes) < 2 * (500 / 8)
+
+
+def test_assign_shards_seed_reshuffles(spark):
+    from deidentify_spark.operators.sharding import assign_shards
+
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(200)], "doc_id long, text string"
+    )
+    a = {r.doc_id: r.shard for r in assign_shards(df, 4, seed=1).collect()}
+    b = {r.doc_id: r.shard for r in assign_shards(df, 4, seed=2).collect()}
+    assert a != b
