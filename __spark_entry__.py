@@ -585,6 +585,27 @@ def dsir_selection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed ROC-AUC (operators/scan.py rank_auc: grouped
+    Mann-Whitney over a quantile-bucketed prefix scan — no
+    single-partition window at any size) of the NB quality classifier's
+    score against the language label, same train split as
+    nb_classifier_documents. The oracle twin recomputes the ENTIRE
+    train+score+AUC chain in SQL."""
+    from deidentify_spark.operators.classifier import nb_score, nb_train
+    from deidentify_spark.operators.scan import rank_auc
+
+    docs = _t(spark, sf_dir, "documents")
+    docs_l = docs.withColumn("is_en", F.col("lang") == "en")
+    w, b = nb_train(docs_l.where("doc_id < 250"), "is_en")
+    scored = nb_score(docs_l, w, b).withColumn(
+        "nb_score_r", F.round("nb_score", 4)
+    )
+    return rank_auc(scored, "is_en", "nb_score_r").select(
+        F.round("auc", 6).alias("auc")
+    )
+
+
 def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/sharding.py):
     hash-seeded corpus shuffle into 8 shards + within-shard position —
@@ -1616,7 +1637,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "minhash_lsh_candidates_documents": minhash_lsh_candidates_documents,
         "dedup_cc_clusters_documents": dedup_cc_clusters_documents,
-        "asof_join_events": asof_join_events,
         "semantic_dedup_documents": semantic_dedup_documents,
         "remove_dup_spans_documents": remove_dup_spans_documents,
         # ---- NEW round 5: certified in this round's driver window
@@ -1626,10 +1646,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection_documents": dsir_selection_documents,
         "bm25_search_documents": bm25_search_documents,
         "shard_assignment_documents": shard_assignment_documents,
+        "quality_auc_documents": quality_auc_documents,
         # ---- tail (past the driver's 50-query window this round): all
         # were green in the official CORRECTNESS_r04.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
         "interval_attribution_events": interval_attribution_events,
+        "asof_join_events": asof_join_events,
         "dup_span_stats_documents": dup_span_stats_documents,
         "mixture_weights_documents": mixture_weights_documents,
         "jsonl_roundtrip_documents": jsonl_roundtrip_documents,
@@ -1996,6 +2018,18 @@ def oracle_sql() -> dict[str, str]:
         "shard_assignment_documents": __import__(
             "deidentify_spark.operators.sharding", fromlist=["shards_oracle_sql"]
         ).shards_oracle_sql("documents", n_shards=8, seed=42),
+        "quality_auc_documents": __import__(
+            "deidentify_spark.operators.scan", fromlist=["auc_oracle_sql"]
+        ).auc_oracle_sql(
+            "SELECT d.lang, s.nb_score FROM documents d JOIN ("
+            + __import__(
+                "deidentify_spark.operators.classifier",
+                fromlist=["nb_oracle_sql"],
+            ).nb_oracle_sql("documents", "doc_id < 250", "lang = 'en'")
+            + ") s USING (doc_id)",
+            label_expr="lang = 'en'",
+            score_expr="nb_score",
+        ),
         "bloom_membership_documents": __import__(
             "deidentify_spark.operators.membership", fromlist=["bloom_oracle_sql"]
         ).bloom_oracle_sql("documents", "doc_id < 250", m_bits=2048, k=3),

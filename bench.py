@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dsir_selection_documents",
     "bm25_search_documents",
     "shard_assignment_documents",
+    "quality_auc_documents",
     "scrub_documents",
 ]
 
@@ -246,6 +247,13 @@ def main() -> None:
         # everything count() doesn't need — a count() of scrub_documents
         # measured a bare parquet scan with the scrub UDF optimized away.
         for run in range(2):
+            # Drop persisted data between runs: the cache-backed
+            # operators (dsir_select's slim projection, bm25's tf)
+            # register plan-identical persists, so run 2 would read
+            # run 1's cache and min-of-2 would report the cached time
+            # as the query's cost. Codegen/footers stay warm — which
+            # is all min-of-2 is for.
+            spark.catalog.clearCache()
             if run == 1:
                 before = _shuffle_totals(app_id, ui_port)
             t0 = time.time()

@@ -1,0 +1,168 @@
+"""Distributed prefix scan + exact ROC-AUC.
+
+``bucketed_prefix_sum`` computes GLOBAL running sums in a total order
+without the classic Spark trap — ``Window.orderBy(col)`` with no
+partitionBy collapses the whole dataset into ONE task (Spark itself
+WARNs). The scalable form is the textbook two-level scan: (1) assign
+each row a range bucket from approx-quantile boundaries (one O(B)
+driver call, balanced buckets by construction), (2) per-bucket window
+prefix sums — ONE hash shuffle on the bucket key, (3) per-bucket
+totals (map-side combinable, B rows) collected and folded into
+exclusive offsets broadcast back as a literal map. The prefix VALUES
+are bucket-boundary-invariant, so the result is independent of the
+quantile sketch's exact cut points — only balance depends on it.
+
+``rank_auc`` builds exact tie-corrected ROC-AUC (Mann-Whitney U) on
+top: group by score (one shuffle, map-side combined), prefix-scan the
+negative counts in score order, then
+AUC = [sum n1*(cum_n0 - n0) + 0.5 * sum n1*n0] / (N1*N0) — the
+pairs-won + half-ties formula. Nothing is ever single-partition; the
+only driver data is B quantiles + B bucket totals. This is the
+model-evaluation companion to operators/classifier.py: DCLM/FineWeb
+pipelines gate their trained quality filters on held-out AUC, and at
+10^12 docs the evaluation itself has to be a distributed job.
+
+No counterpart in the reference (aliengiraffe/deidentify is a PII
+scrubber); §2.G training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["bucketed_prefix_sum", "rank_auc", "auc_oracle_sql"]
+
+
+def bucketed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    n_buckets: int = 64,
+    out_prefix: str = "cum_",
+) -> DataFrame:
+    """All input columns plus ``{out_prefix}{v}``: the inclusive global
+    running sum of each value column in ascending ``order_col`` order.
+
+    ``order_col`` must be unique per row (with duplicate keys a running
+    sum is not well-defined row-wise — aggregate duplicates first, as
+    rank_auc does). Cost: one O(B) approxQuantile driver call, one hash
+    shuffle on the bucket key, one B-row collect. No single-partition
+    stage at any size; B bounds the per-task sort to ~n/B rows.
+    """
+    bounds = sorted(
+        set(
+            df.approxQuantile(
+                order_col,
+                [i / n_buckets for i in range(1, n_buckets)],
+                0.001,
+            )
+        )
+    )
+    if bounds:
+        bucket = reduce(
+            lambda a, b: a + b,
+            [
+                (F.col(order_col) > F.lit(b)).cast("int")
+                for b in bounds
+            ],
+        )
+    else:  # empty input (no quantiles): single bucket
+        bucket = F.lit(0)
+    g = df.withColumn("_psum_bkt", bucket)
+    w = (
+        Window.partitionBy("_psum_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        g = g.withColumn(out_prefix + v, F.sum(v).over(w))
+    totals = (
+        g.groupBy("_psum_bkt")
+        .agg(*[F.sum(v).alias(v) for v in value_cols])
+        .collect()
+    )
+    # exclusive running offsets per bucket, folded on the driver (O(B))
+    offsets: dict[int, dict[str, float]] = {}
+    run = {v: 0 for v in value_cols}
+    for row in sorted(totals, key=lambda r: r["_psum_bkt"]):
+        offsets[row["_psum_bkt"]] = dict(run)
+        for v in value_cols:
+            run[v] += row[v] or 0
+    for v in value_cols:
+        if offsets:
+            off = F.create_map(
+                *[
+                    x
+                    for b, o in offsets.items()
+                    for x in (F.lit(b), F.lit(o[v]))
+                ]
+            )[F.col("_psum_bkt")]
+        else:
+            off = F.lit(0)
+        g = g.withColumn(out_prefix + v, F.col(out_prefix + v) + off)
+    return g.drop("_psum_bkt")
+
+
+def rank_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """One-row DataFrame ``(auc)``: exact tie-corrected ROC-AUC of
+    ``score_col`` against boolean ``label_col`` (NULL if either class
+    is empty — an AUC over one class is undefined, not 0 or 1).
+
+    Ties in the score contribute 0.5 per (pos, neg) pair, matching
+    sklearn.metrics.roc_auc_score exactly.
+    """
+    g = df.groupBy(score_col).agg(
+        F.sum(F.when(F.col(label_col), 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(F.col(label_col), 0).otherwise(1)).alias("_n0"),
+    )
+    c = bucketed_prefix_sum(g, score_col, ["_n0"], n_buckets)
+    return c.agg(
+        F.when(
+            (F.sum("_n1") == 0) | (F.sum("_n0") == 0), F.lit(None)
+        )
+        .otherwise(
+            (
+                F.sum(F.col("_n1") * (F.col("cum__n0") - F.col("_n0")))
+                + 0.5 * F.sum(F.col("_n1") * F.col("_n0"))
+            )
+            / (F.sum("_n1") * F.sum("_n0"))
+        )
+        .alias("auc")
+    )
+
+
+def auc_oracle_sql(
+    scored_sql: str,
+    label_expr: str,
+    score_expr: str,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of rank_auc over ``scored_sql`` (a full SELECT whose
+    output provides ``label_expr`` and ``score_expr``): single-node SQL
+    uses the plain global window the distributed version exists to
+    avoid — same values, textbook formulation."""
+    return f"""
+        WITH scored AS ({scored_sql}),
+        g AS (
+            SELECT {score_expr} AS s,
+                   SUM(CASE WHEN {label_expr} THEN 1 ELSE 0 END) AS n1,
+                   SUM(CASE WHEN {label_expr} THEN 0 ELSE 1 END) AS n0
+            FROM scored GROUP BY {score_expr}
+        ),
+        c AS (
+            SELECT *, SUM(n0) OVER (ORDER BY s) AS cum_n0 FROM g
+        )
+        SELECT CASE WHEN SUM(n1) = 0 OR SUM(n0) = 0 THEN NULL
+               ELSE ROUND((SUM(n1 * (cum_n0 - n0)) + 0.5 * SUM(n1 * n0))
+                          / (SUM(n1) * SUM(n0)), {round_to})
+               END AS auc
+        FROM c
+    """

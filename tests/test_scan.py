@@ -1,0 +1,93 @@
+"""Distributed prefix scan + exact ROC-AUC (operators/scan.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from deidentify_spark.operators.scan import bucketed_prefix_sum, rank_auc
+
+
+def _ref_auc(pairs):
+    """Reference tie-corrected AUC: mean over all (pos, neg) pairs of
+    1 if s_pos > s_neg, 0.5 if equal, else 0 — the definition."""
+    pos = [s for y, s in pairs if y]
+    neg = [s for y, s in pairs if not y]
+    if not pos or not neg:
+        return None
+    total = 0.0
+    for p in pos:
+        for n in neg:
+            total += 1.0 if p > n else (0.5 if p == n else 0.0)
+    return total / (len(pos) * len(neg))
+
+
+def test_prefix_sum_matches_naive_running_total(spark):
+    rng = random.Random(7)
+    rows = [(float(i) + rng.random(), rng.randint(0, 9)) for i in range(500)]
+    df = spark.createDataFrame(rows, "k double, v int").repartition(8)
+    out = {
+        r.k: r.cum_v
+        for r in bucketed_prefix_sum(df, "k", ["v"], n_buckets=16).collect()
+    }
+    running = 0
+    for k, v in sorted(rows):
+        running += v
+        assert out[k] == running, k
+
+
+def test_prefix_sum_no_single_partition_exchange(spark):
+    """The whole point: the plan must contain NO SinglePartition
+    exchange — that is the Window.orderBy trap this operator replaces."""
+    df = spark.range(1000).select(
+        F.col("id").cast("double").alias("k"), F.lit(1).alias("v")
+    )
+    plan = (
+        bucketed_prefix_sum(df, "k", ["v"], n_buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan, "global-sort window snuck back in"
+
+
+def test_prefix_sum_multiple_value_cols(spark):
+    df = spark.createDataFrame(
+        [(1.0, 1, 10), (2.0, 2, 20), (3.0, 3, 30)], "k double, a int, b int"
+    )
+    r = {
+        x.k: (x.cum_a, x.cum_b)
+        for x in bucketed_prefix_sum(df, "k", ["a", "b"], n_buckets=4).collect()
+    }
+    assert r == {1.0: (1, 10), 2.0: (3, 30), 3.0: (6, 60)}
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_rank_auc_matches_pairwise_definition(spark, seed):
+    rng = random.Random(seed)
+    # coarse scores force plenty of ties, exercising the 0.5 term
+    pairs = [
+        (rng.random() < 0.4, round(rng.random(), 1)) for _ in range(300)
+    ]
+    df = spark.createDataFrame(pairs, "y boolean, s double")
+    got = rank_auc(df, "y", "s", n_buckets=8).first().auc
+    assert got == pytest.approx(_ref_auc(pairs), abs=1e-9)
+
+
+def test_rank_auc_single_class_is_null(spark):
+    df = spark.createDataFrame(
+        [(True, 0.1), (True, 0.9)], "y boolean, s double"
+    )
+    assert rank_auc(df, "y", "s").first().auc is None
+
+
+def test_rank_auc_perfect_and_inverted(spark):
+    df = spark.createDataFrame(
+        [(True, 0.9), (True, 0.8), (False, 0.2), (False, 0.1)],
+        "y boolean, s double",
+    )
+    assert rank_auc(df, "y", "s").first().auc == pytest.approx(1.0)
+    inv = df.withColumn("s", -F.col("s"))
+    assert rank_auc(inv, "y", "s").first().auc == pytest.approx(0.0)
