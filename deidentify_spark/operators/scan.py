@@ -46,12 +46,23 @@ def bucketed_prefix_sum(
     """All input columns plus ``{out_prefix}{v}``: the inclusive global
     running sum of each value column in ascending ``order_col`` order.
 
-    ``order_col`` must be unique per row (with duplicate keys a running
-    sum is not well-defined row-wise — aggregate duplicates first, as
-    rank_auc does). Cost: one O(B) approxQuantile driver call, one hash
-    shuffle on the bucket key, one B-row collect. No single-partition
-    stage at any size; B bounds the per-task sort to ~n/B rows.
+    ``order_col`` must be unique AND non-null per row (with duplicate
+    keys a running sum is not well-defined row-wise — aggregate
+    duplicates first, as rank_auc does; approxQuantile ignores nulls so
+    a null key would land in bucket 0 unscanned). Cost: one O(B)
+    approxQuantile driver call, one hash shuffle on the bucket key, one
+    B-row collect. No single-partition stage at any size; B bounds the
+    per-task sort to ~n/B rows.
+
+    The input is PERSISTED here (unless the caller already did): the
+    scan needs three passes (quantiles, totals, output) and without the
+    cache each pass re-executes the input's full lineage. Measured on
+    quality_auc_documents at sf0.1 (NB train+score upstream), same
+    session A/B: 6.9-7.0s persisted vs 10.5-11.8s recomputed. Same
+    explicit-materialization posture as dsir_select's slim projection.
     """
+    if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
+        df = df.persist()
     bounds = sorted(
         set(
             df.approxQuantile(
