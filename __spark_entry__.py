@@ -1579,6 +1579,46 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pivot_orders_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational PIVOT (§2.F): order counts per priority, one column
+    per order status. The status values are PINNED (explicit pivot
+    list) — at scale an unpinned pivot adds a whole distinct-values job
+    before the aggregation; pinning keeps it one pass."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational UNPIVOT/melt (§2.F): part's two numeric measures
+    (size, retailprice) melted to (key, measure, value) rows via the
+    native unpivot — map-side, zero shuffle before the presentation
+    sort."""
+    return (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 200)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("size"),
+            F.col("p_retailprice").cast("double").alias("retailprice"),
+        )
+        .unpivot(
+            ["p_partkey"], ["size", "retailprice"], "measure", "value"
+        )
+        .orderBy("p_partkey", "measure")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness sweep records the
     # FIRST 50 registered queries (observed cap, rounds 1-4), so the
@@ -1677,6 +1717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents_counts": langid_documents_counts,
         "scrub_documents_digest": scrub_documents_digest,
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
+        "pivot_orders_priority_by_status": pivot_orders_priority_by_status,
+        "unpivot_part_measures": unpivot_part_measures,
     }
 
 
@@ -2018,6 +2060,25 @@ def oracle_sql() -> dict[str, str]:
         "shard_assignment_documents": __import__(
             "deidentify_spark.operators.sharding", fromlist=["shards_oracle_sql"]
         ).shards_oracle_sql("documents", n_shards=8, seed=42),
+        "pivot_orders_priority_by_status": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "unpivot_part_measures": """
+            SELECT p_partkey, measure, value FROM (
+                SELECT p_partkey, 'size' AS measure,
+                       CAST(p_size AS DOUBLE) AS value
+                FROM part WHERE p_partkey <= 200
+                UNION ALL
+                SELECT p_partkey, 'retailprice',
+                       CAST(p_retailprice AS DOUBLE)
+                FROM part WHERE p_partkey <= 200
+            ) ORDER BY p_partkey, measure
+        """,
         "quality_auc_documents": __import__(
             "deidentify_spark.operators.scan", fromlist=["auc_oracle_sql"]
         ).auc_oracle_sql(
