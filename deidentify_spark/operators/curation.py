@@ -23,20 +23,21 @@ All are pure DataFrame compositions (no Python UDFs):
   cluster size (resume-safe; no RNG state, no sampling shuffle).
 * pack sequences:  GPT-style concat-and-chunk. Docs are laid end-to-end
   in (stratum, doc_id) order and cut into fixed token budgets; a doc's
-  chunk is floor(start_offset / budget). One window shuffle per stratum.
-  Chunk boundaries may split a doc (by design — this is how LM
-  pretraining actually packs context windows); the alternative greedy
-  "close the bin when the next doc doesn't fit" is inherently
-  sequential and is NOT this operator.
+  chunk is floor(start_offset / budget). The running offset is a
+  bucketed two-level scan (scan.partitioned_prefix_sum) — bounded task
+  size even when one stratum IS the corpus. Chunk boundaries may split
+  a doc (by design — this is how LM pretraining actually packs context
+  windows); the alternative greedy "close the bin when the next doc
+  doesn't fit" is inherently sequential and is NOT this operator.
 
 Scale notes (100 TB): the dup-span gram window partitions by a 64-bit
 gram hash, so a boilerplate gram repeated across the corpus lands on one
 task — counting is linear and the window carries only (doc_id, pos),
 but a truly degenerate gram (empty-page boilerplate at 10^8 occurrences)
 should be removed by exact dedup first, same caveat as the n-gram
-Jaccard chain (dedup.py). Packing windows partition per stratum; at
-10^12 docs a stratum is a source/domain bucket, not the whole corpus —
-re-stratify (e.g. by (source, date)) if one stratum dominates.
+Jaccard chain (dedup.py). Packing offsets and duplicated-line/gram key
+sets are deliberately NOT windows over their hot keys — see each
+operator's docstring for the skew argument.
 """
 
 from __future__ import annotations
@@ -311,8 +312,16 @@ def pack_sequences(
     per (stratum, chunk_id): n_docs, n_tokens, first/last doc. Feeding
     chunks (not raw docs) downstream gives the tokenizer fixed-size work
     units and removes padding waste — the standard LM packing step.
+
+    The per-stratum running offset is a ``partitioned_prefix_sum``
+    (operators/scan.py), NOT a ``Window.partitionBy(stratum)`` running
+    sum: a dominant stratum (the normal case — "web" is ~90% of a real
+    mix) would sort its entire corpus share in ONE task under the plain
+    window; the bucketed scan bounds every task to ~n_stratum/B rows and
+    folds bucket offsets distributedly.
     """
     from deidentify_spark.functions.text_stats import RE2_WS_CLASS
+    from deidentify_spark.operators.scan import partitioned_prefix_sum
 
     # F.split('') yields [''] (size 1); empty/whitespace-only docs must
     # count 0 tokens — the convention token_counts_documents uses — or a
@@ -320,16 +329,14 @@ def pack_sequences(
     n_tokens = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
         F.size(F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+"))
     ).cast("bigint")
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    off = df.select(
+    slim = df.select(
         F.col(id_col),
         F.col(strata_col),
         n_tokens.alias("n_tokens"),
-    ).withColumn("start_off", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    )
+    off = partitioned_prefix_sum(
+        slim, [strata_col], id_col, ["n_tokens"]
+    ).withColumn("start_off", F.col("cum_n_tokens") - F.col("n_tokens"))
     return off.groupBy(
         strata_col, (F.col("start_off") / budget).cast("bigint").alias("chunk_id")
     ).agg(
@@ -396,8 +403,20 @@ def line_dedup(
     shuffle and is never rebuilt by a collect_list:
     1. lines explode to (id, pos, xxhash64(line)) — 8-byte hashes, no
        strings (jaccard's convention, same collision math);
-    2. one window count over the hash finds duplicated occurrences
-       (linear per hot line, the accepted jaccard-window trade);
+    2. the duplicated-line KEY SET comes from a codegen
+       ``groupBy(lh).count()`` (map-side combined, spill-safe) and
+       equi-joins back onto the occurrences — the same
+       aggregate-then-join shape ``_dup_spans`` uses. The obvious
+       count-over-``Window.partitionBy(lh)`` alternative is a skew bomb
+       PRECISELY here: boilerplate lines are the hot keys this operator
+       targets, and a cookie banner appearing in 10% of a 10^12-doc
+       corpus would funnel 10^11 occurrence rows into ONE window task.
+       The aggregate's combiner keeps the hot key linear and
+       distributed; AQE broadcasts the key set when small and
+       skew-splits the join when boilerplate makes it huge. (The line
+       explode evaluates once per branch — a cheap narrow split+hash
+       map emitting 12-byte rows, the same accepted trade as
+       ``_dup_spans``' gram branches.)
     3. removal positions fold to one small (id, drop_pos array) row per
        AFFECTED doc only (the sort-agg fallback for collect_set runs
        over just the duplicated-line rows, not the corpus);
@@ -407,19 +426,18 @@ def line_dedup(
        affected docs in place — untouched docs keep their text without
        ever being exploded back together.
     """
-    from pyspark.sql.window import Window
-
     arr = F.split(F.col(text_col), line_sep)
     lines = df.select(
         F.col(id_col),
         F.posexplode(arr).alias("pos", "line"),
     ).select(id_col, "pos", F.xxhash64("line").alias("lh"))
-    w = Window.partitionBy("lh")
-    dup_occ = (
-        lines.withColumn("_c", F.count(F.lit(1)).over(w))
+    dup_lh = (
+        lines.groupBy("lh")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= min_dup)
-        .drop("_c")
+        .select("lh")
     )
+    dup_occ = lines.join(dup_lh, "lh")
     removals = dup_occ.groupBy(id_col).agg(
         F.collect_set("pos").alias("_drop_pos"),
         F.count(F.lit(1)).cast("int").alias("n_lines_removed"),

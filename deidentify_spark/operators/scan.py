@@ -12,6 +12,15 @@ exclusive offsets broadcast back as a literal map. The prefix VALUES
 are bucket-boundary-invariant, so the result is independent of the
 quantile sketch's exact cut points — only balance depends on it.
 
+``partitioned_prefix_sum`` is the per-group form (running sums within
+each stratum/shard/source) with the offset fold kept DISTRIBUTED — the
+totals table's exclusive scan is a window over <= B rows per group —
+so it serves both few huge groups (a dominant web stratum) and many
+small ones (10^5 shards) with no driver collect at all. It is the
+skew-safe replacement for ``Window.partitionBy(group).orderBy(id)``
+wherever a group can dominate the corpus (curation.pack_sequences,
+sharding.assign_shards).
+
 ``rank_auc`` builds exact tie-corrected ROC-AUC (Mann-Whitney U) on
 top: group by score (one shuffle, map-side combined), prefix-scan the
 negative counts in score order, then
@@ -30,10 +39,39 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bucketed_prefix_sum", "rank_auc", "auc_oracle_sql"]
+from deidentify_spark.runtime import tracked_persist
+
+__all__ = [
+    "bucketed_prefix_sum",
+    "partitioned_prefix_sum",
+    "rank_auc",
+    "auc_oracle_sql",
+]
+
+
+def _quantile_bucket(df: DataFrame, order_col: str, n_buckets: int) -> Column:
+    """Range-bucket expression from approx-quantile boundaries of
+    ``order_col`` (one O(B) driver call; balanced buckets by
+    construction). Bucket VALUES don't affect any prefix sum — only
+    balance depends on the sketch."""
+    bounds = sorted(
+        set(
+            df.approxQuantile(
+                order_col,
+                [i / n_buckets for i in range(1, n_buckets)],
+                0.001,
+            )
+        )
+    )
+    if not bounds:  # empty input (no quantiles): single bucket
+        return F.lit(0)
+    return reduce(
+        lambda a, b: a + b,
+        [(F.col(order_col) > F.lit(b)).cast("int") for b in bounds],
+    )
 
 
 def bucketed_prefix_sum(
@@ -62,27 +100,8 @@ def bucketed_prefix_sum(
     explicit-materialization posture as dsir_select's slim projection.
     """
     if not (df.storageLevel.useMemory or df.storageLevel.useDisk):
-        df = df.persist()
-    bounds = sorted(
-        set(
-            df.approxQuantile(
-                order_col,
-                [i / n_buckets for i in range(1, n_buckets)],
-                0.001,
-            )
-        )
-    )
-    if bounds:
-        bucket = reduce(
-            lambda a, b: a + b,
-            [
-                (F.col(order_col) > F.lit(b)).cast("int")
-                for b in bounds
-            ],
-        )
-    else:  # empty input (no quantiles): single bucket
-        bucket = F.lit(0)
-    g = df.withColumn("_psum_bkt", bucket)
+        df = tracked_persist(df)  # released via runtime.release_tracked()
+    g = df.withColumn("_psum_bkt", _quantile_bucket(df, order_col, n_buckets))
     w = (
         Window.partitionBy("_psum_bkt")
         .orderBy(order_col)
@@ -115,6 +134,87 @@ def bucketed_prefix_sum(
             off = F.lit(0)
         g = g.withColumn(out_prefix + v, F.col(out_prefix + v) + off)
     return g.drop("_psum_bkt")
+
+
+def partitioned_prefix_sum(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    value_cols: list[str],
+    n_buckets: int = 64,
+    tie_cols: list[str] | None = None,
+    out_prefix: str = "cum_",
+    persist_input: bool = True,
+) -> DataFrame:
+    """Per-group running sums — all input columns plus
+    ``{out_prefix}{v}``: the inclusive running sum of each value column
+    in ascending ``(order_col, *tie_cols)`` order WITHIN each
+    ``partition_cols`` group — without the one-task-per-group trap of
+    ``Window.partitionBy(group).orderBy(order)``: a group holding 90%
+    of a 10^12-row corpus (the normal web-source skew) would sort its
+    entire volume in ONE task under the plain window.
+
+    Two-level scan, same idea as ``bucketed_prefix_sum`` but with the
+    offset fold DISTRIBUTED instead of driver-side (so large group
+    counts — e.g. shards — need no O(groups x B) collect):
+    1. range buckets from GLOBAL approx-quantiles of ``order_col``
+       (group-agnostic: a dominant group's rows spread over all B
+       buckets, bounding every window task to ~n_group/B rows);
+    2. per-(group, bucket) window prefix sums — one hash shuffle;
+    3. per-(group, bucket) totals (map-side combined), exclusive-folded
+       into offsets by a window partitioned BY GROUP over its <= B
+       total rows (bounded per task by construction), joined back on
+       (group, bucket) — AQE broadcasts the totals table when small.
+
+    ``(order_col, *tie_cols)`` must be unique non-null within a group;
+    ``order_col`` numeric (approxQuantile) and group keys non-null
+    (equi-join keys). The input is persisted by default (registered
+    with runtime.release_tracked) — the scan reads it for quantiles,
+    the window branch, and the totals branch. Pass
+    ``persist_input=False`` when the input is a cheap scan over wide
+    rows (e.g. assign_shards over the full corpus): the quantile and
+    totals passes column-prune to the key columns, so two pruned
+    re-reads beat caching every text byte.
+    """
+    ties = list(tie_cols or [])
+    if persist_input and not (
+        df.storageLevel.useMemory or df.storageLevel.useDisk
+    ):
+        df = tracked_persist(df)
+    base = df.withColumn(
+        "_psum_bkt", _quantile_bucket(df, order_col, n_buckets)
+    )
+    w = (
+        Window.partitionBy(*partition_cols, "_psum_bkt")
+        .orderBy(order_col, *ties)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g = base
+    for v in value_cols:
+        g = g.withColumn(out_prefix + v, F.sum(v).over(w))
+    totals = base.groupBy(*partition_cols, "_psum_bkt").agg(
+        *[F.sum(v).alias(f"_t_{v}") for v in value_cols]
+    )
+    ow = (
+        Window.partitionBy(*partition_cols)
+        .orderBy("_psum_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *partition_cols,
+        "_psum_bkt",
+        *[
+            F.coalesce(F.sum(f"_t_{v}").over(ow), F.lit(0)).alias(f"_off_{v}")
+            for v in value_cols
+        ],
+    )
+    g = g.join(offsets, [*partition_cols, "_psum_bkt"], "left")
+    for v in value_cols:
+        g = g.withColumn(
+            out_prefix + v,
+            F.col(out_prefix + v) + F.coalesce(F.col(f"_off_{v}"), F.lit(0)),
+        )
+    return g.drop("_psum_bkt", *[f"_off_{v}" for v in value_cols])
 
 
 def rank_auc(

@@ -16,21 +16,25 @@ Scale posture
 -------------
 shard = pmod(hash60(seed:id), n_shards) is map-only and uniform (no
 skew by construction — md5 is uniform over ids regardless of id
-distribution); the within-shard position is ONE hash shuffle on shard
-+ a per-shard sort (row_number over (shard) ordered by (hash, id)).
-Rows per shard ~ n/n_shards; pick n_shards so a shard fits an
-executor's sort buffer (10^12 docs / 10^5 shards = 10^7 rows/shard —
-fine), exactly how real shard writers size output files. The write
-itself is `df.write.partitionBy("shard")` downstream; this operator
-computes the assignment, which is the oracle-checkable part.
+distribution). The within-shard position is a bucketed two-level scan
+(scan.partitioned_prefix_sum counting 1 per row): quantile buckets on
+the shuffle hash bound every sort task to ~n/(n_shards x B) rows and
+the bucket offsets fold distributedly, so the operator serializes
+NOTHING per shard — unlike the previous row_number-over-shard window,
+whose parallelism was capped at n_shards (fine at 10^5 production
+shards, a bottleneck for a 16-shard config on a 1000-executor
+cluster). The write itself is `df.write.partitionBy("shard")`
+downstream; this operator computes the assignment, which is the
+oracle-checkable part.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deidentify_spark.operators.dedup import _hash60
+from deidentify_spark.operators.scan import partitioned_prefix_sum
 
 __all__ = ["assign_shards", "shards_oracle_sql"]
 
@@ -45,16 +49,28 @@ def assign_shards(
     ``shard_pos`` (1-based position within the shard, in the
     deterministic shuffled order). Order within a shard is by the
     shuffle hash with ``id_col`` as the total-order tie-break, so the
-    assignment is a pure function of (seed, ids)."""
+    assignment is a pure function of (seed, ids) — integer-exact,
+    independent of the prefix-scan's bucket boundaries."""
     h = _hash60(
         F.concat(F.lit(f"shard:{seed}:"), F.col(id_col).cast("string"))
     )
-    w = Window.partitionBy("shard").orderBy("_shard_h", id_col)
+    keyed = df.withColumn("_shard_h", h).withColumn(
+        "shard", F.pmod(F.col("_shard_h"), F.lit(n_shards)).cast("int")
+    )
+    # persist_input=False: the scan's quantile/totals passes prune to
+    # (_shard_h, shard) — two cheap key-column re-reads of the input
+    # lineage instead of caching the corpus' full text rows.
+    pos = partitioned_prefix_sum(
+        keyed.withColumn("_one", F.lit(1)),
+        ["shard"],
+        "_shard_h",
+        ["_one"],
+        tie_cols=[id_col],
+        persist_input=False,
+    )
     return (
-        df.withColumn("_shard_h", h)
-        .withColumn("shard", F.pmod(F.col("_shard_h"), F.lit(n_shards)).cast("int"))
-        .withColumn("shard_pos", F.row_number().over(w))
-        .drop("_shard_h")
+        pos.withColumn("shard_pos", F.col("cum__one").cast("int"))
+        .drop("_shard_h", "_one", "cum__one")
     )
 
 

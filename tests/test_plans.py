@@ -274,13 +274,49 @@ def test_dup_span_plan_shape(spark):
     assert "ReusedExchange" in final, "gram materialization ran twice"
 
 
-def test_pack_sequences_plan_single_data_shuffle(spark):
-    """Packing is one per-stratum window; the (stratum, chunk) agg must
-    reuse the window's hash partitioning (subset key), leaving only the
-    window exchange + the presentation orderBy."""
+def test_pack_sequences_plan_no_per_stratum_global_sort(spark):
+    """Packing's running offset must be the bucketed two-level scan
+    (partitioned_prefix_sum), never a Window.partitionBy(stratum)
+    running sum — a dominant stratum ("web" ~ 90% of a real mix) would
+    sort its whole corpus share in ONE task under the plain window.
+    Visible in the plan: every window/sort spec over the token counts
+    carries the _psum_bkt bucket key next to the stratum, and the
+    bucket-offset fold joins back (never cartesian)."""
     plan = _plan(entry_mod.pack_sequences_documents(spark, SF))
-    assert "Join" not in plan
-    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "_psum_bkt" in plan, "bucketed scan gone — plain window is back"
+    # no window/sort partitioned by the stratum ALONE: each occurrence
+    # of the source column in a windowspecdefinition must be the
+    # (source, _psum_bkt) pair (offset fold windows are per (stratum)
+    # over <= B bucket rows, visible as (source, _psum_bkt) specs too)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        if "source" in spec and "n_tokens" in plan:
+            assert "_psum_bkt" in spec or "cum_n_tokens" not in spec
+    assert "CartesianProduct" not in plan
+
+
+def test_line_dedup_plan_no_hot_key_window(spark):
+    """The duplicated-line key set must come from a codegen
+    groupBy(lh).count() joined back — NEVER count-over-
+    Window.partitionBy(lh): boilerplate lines are the hot keys this
+    operator targets, and the window shape buffers every occurrence of
+    a banner line in one task (the round-5 verdict's #1 scale
+    finding)."""
+    plan = _plan(entry_mod.line_dedup_documents(spark, SF))
+    assert "windowspecdefinition(lh" not in plan, "hot-key window is back"
+    assert "HashAggregate" in plan and "count(1)" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_assign_shards_plan_not_serialized_per_shard(spark):
+    """shard_pos must be the bucketed scan, not row_number over
+    Window.partitionBy(shard) — the window caps parallelism at
+    n_shards (8 here), serializing each shard's sort into one task."""
+    plan = _plan(entry_mod.shard_assignment_documents(spark, SF))
+    assert "_psum_bkt" in plan, "bucketed scan gone — per-shard sort is back"
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_decontaminate_plan_broadcasts_eval_grams(spark):
