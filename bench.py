@@ -254,6 +254,9 @@ def main() -> None:
             # as the query's cost. Codegen/footers stay warm — which
             # is all min-of-2 is for.
             spark.catalog.clearCache()
+            from deidentify_spark.runtime import release_tracked
+
+            release_tracked()  # drop operator-internal cache handles too
             if run == 1:
                 before = _shuffle_totals(app_id, ui_port)
             t0 = time.time()

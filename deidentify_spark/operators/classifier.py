@@ -39,9 +39,17 @@ DEFAULT_BUCKETS = 1 << 15
 
 
 def _features(
-    df: DataFrame, text_col: str, id_col: str, n_buckets: int
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, feature) with multiplicity: hashed word unigrams + bigrams.
+    """(id[, extra...], feature) with multiplicity: hashed word unigrams
+    + bigrams. ``extra_cols`` ride the explode (e.g. a per-doc label) so
+    consumers aggregating over features never need a per-doc join —
+    an O(n_docs) table can neither broadcast at corpus scale nor join
+    without an extra feature-stream shuffle.
 
     Uni/bigram shingles are distinct strings ("foo" vs "foo bar"), so
     one hash space serves both, exactly as fastText buckets them.
@@ -59,7 +67,7 @@ def _features(
     """
     from deidentify_spark.operators.dedup import _materialized_words
 
-    base = _materialized_words(df, text_col, id_col)
+    base = _materialized_words(df, text_col, id_col, extra_cols=extra_cols)
     bi = F.when(
         F.size("_words") >= 2,
         F.transform(
@@ -68,10 +76,12 @@ def _features(
         ),
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(F.col("_words"), bi)
+    extras = [F.col(c) for c in extra_cols]
     return base.select(
-        F.col(id_col), F.explode(grams).alias("shingle")
+        F.col(id_col), *extras, F.explode(grams).alias("shingle")
     ).select(
         id_col,
+        *extras,
         F.pmod(_hash60(F.col("shingle")), F.lit(n_buckets)).alias("feature"),
     )
 
@@ -94,9 +104,15 @@ def nb_train(
     number, not 0).
     """
     spark = df.sparkSession
-    labels = df.select(id_col, F.col(label_col).cast("boolean").alias("_y"))
-    feats = _features(df, text_col, id_col, n_buckets).join(
-        F.broadcast(labels), id_col
+    # the label rides the feature explode (_features extra_cols) — a
+    # per-doc (id, label) join here would need an O(n_docs) broadcast
+    # (over Spark's limit at corpus scale) or a feature-stream shuffle
+    feats = _features(
+        df.withColumn("_y", F.col(label_col).cast("boolean")),
+        text_col,
+        id_col,
+        n_buckets,
+        extra_cols=("_y",),
     )
     counts = feats.groupBy("feature").agg(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c1"),
@@ -127,7 +143,7 @@ def nb_train(
     # single-class training set yields a large-but-finite bias instead
     # of a ±Inf/NULL that would silently propagate NULL into every
     # nb_score downstream.
-    bias = labels.agg(
+    bias = df.select(F.col(label_col).cast("boolean").alias("_y")).agg(
         F.log(
             (F.sum(F.when(F.col("_y"), 1).otherwise(0)) + F.lit(alpha))
             / (F.sum(F.when(F.col("_y"), 0).otherwise(1)) + F.lit(alpha))

@@ -54,6 +54,7 @@ from pyspark.sql import functions as F
 
 from deidentify_spark.operators.classifier import DEFAULT_BUCKETS, _features
 from deidentify_spark.operators.dedup import _hash60
+from deidentify_spark.runtime import tracked_persist
 
 __all__ = ["dsir_log_weights", "dsir_select", "gumbel_key"]
 
@@ -74,16 +75,22 @@ def _dsir_sums(
     out_col: str,
 ) -> DataFrame:
     """(id, out_col) log-weight sums — only ids that emitted at least
-    one feature appear (consumers left-join + coalesce to 0.0)."""
-    feats = _features(df, text_col, id_col, n_buckets)
-    flags = df.select(id_col, F.col(target_col).cast("boolean").alias("_t"))
-    counts = (
-        feats.join(F.broadcast(flags), id_col)
-        .groupBy("feature")
-        .agg(
-            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
-            F.count(F.lit(1)).alias("cr"),
-        )
+    one feature appear (consumers left-join + coalesce to 0.0).
+
+    The target flag rides the feature explode (_features extra_cols):
+    the earlier per-doc (id, flag) join carried an unconditional
+    broadcast hint on an O(n_docs) table, which at the module's stated
+    10^12-doc posture exceeds Spark's broadcast limit outright."""
+    feats = _features(
+        df.withColumn("_t", F.col(target_col).cast("boolean")),
+        text_col,
+        id_col,
+        n_buckets,
+        extra_cols=("_t",),
+    )
+    counts = feats.groupBy("feature").agg(
+        F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
     )
     # No dense bucket completion needed (unlike nb_train): every
     # feature a scored doc can emit is by construction present in the
@@ -177,8 +184,12 @@ def dsir_select(
     The persisted projection is the price of running the feature
     explode once; it is O(n) x 24 B — 24 GB per 10^12 docs, spilled
     to disk by MEMORY_AND_DISK — and stays cached for the output's
-    consumption (callers batching many selections should clearCache()
-    between). Hash-distinct keys make >k ties a measure-zero event
+    consumption. It is registered with runtime.tracked_persist, so
+    callers batching many selections release it with
+    runtime.release_tracked() once each output is materialized (the
+    operator cannot unpersist it itself — the returned DataFrame still
+    reads the cache lazily). Hash-distinct keys make >k ties a
+    measure-zero event
     (documented, not guarded). If ``k >= n`` every row is selected.
     """
     sums = _dsir_sums(
@@ -192,8 +203,8 @@ def dsir_select(
             F.coalesce(F.col("dsir_logw"), F.lit(0.0)).alias("dsir_logw"),
         )
         .withColumn("_dsir_key", gumbel_key(id_col, "dsir_logw", seed))
-        .persist()
     )
+    slim = tracked_persist(slim)
     kth = (
         slim.select("_dsir_key")
         .orderBy(F.desc("_dsir_key"))

@@ -46,14 +46,37 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join", "bucketed_interval_join"]
 
 
-def _lag_us(later: Column, earlier: Column) -> Column:
-    # Diff on the NATIVE type, no tz cast: on TIMESTAMP_NTZ this is the
-    # pure wall-clock microsecond difference (matching a DuckDB oracle's
-    # epoch_us over naive timestamps), on TIMESTAMP the exact physical
-    # difference. The previous cast-to-session-TIMESTAMP formulation
-    # shifted the two operands by DIFFERENT offsets when they straddled
-    # a DST transition in a non-UTC session timezone, corrupting
-    # tolerance checks and the nearest-side choice.
+def _wall_epoch_us(c: Column) -> Column:
+    """Wall-clock microseconds since 1970-01-01 00:00:00 by pure FIELD
+    arithmetic (unix_date + hour/minute/fractional-second extraction) —
+    no timezone machinery at ANY point, so it is exact and monotonic
+    for every representable TIMESTAMP_NTZ value. This matters because
+    Spark's ``timestampdiff``/``unix_timestamp`` resolve NTZ operands
+    through the SESSION timezone: wall times inside a DST
+    spring-forward gap (which never existed locally, but legitimately
+    occur in NTZ data ingested from another region's wall clock) get
+    shifted +1h — a non-monotonic mapping that corrupts lags and
+    bucket keys (probed: TIMESTAMP_NTZ'2024-03-10 02:15' diffs as
+    03:15 under America/New_York)."""
+    return (
+        F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    )
+
+
+def _is_ntz(df: DataFrame, col: str) -> bool:
+    return df.schema[col].dataType.simpleString() == "timestamp_ntz"
+
+
+def _lag_us(later: Column, earlier: Column, ntz: bool) -> Column:
+    # NTZ: pure wall-clock microsecond difference via field arithmetic
+    # (matching a DuckDB oracle's epoch_us over naive timestamps) —
+    # see _wall_epoch_us for why timestamp_diff is NOT tz-independent
+    # on NTZ. TIMESTAMP: exact physical difference on the instants.
+    if ntz:
+        return _wall_epoch_us(later) - _wall_epoch_us(earlier)
     return F.timestamp_diff("MICROSECOND", earlier, later)
 
 
@@ -149,10 +172,12 @@ def asof_join(
         cand.append("_asof_f")
     matched = matched.where(F.col("_asof_is_ref") == 0)
 
+    ntz = _is_ntz(probe, ts_col)
+
     def abs_lag(c: str) -> Column:
         if c == "_asof_b":
-            return _lag_us(F.col(ts_col), F.col(f"{c}._asof_ref_ts"))
-        return _lag_us(F.col(f"{c}._asof_ref_ts"), F.col(ts_col))
+            return _lag_us(F.col(ts_col), F.col(f"{c}._asof_ref_ts"), ntz)
+        return _lag_us(F.col(f"{c}._asof_ref_ts"), F.col(ts_col), ntz)
 
     if tolerance_seconds is not None:
         tol = F.lit(int(tolerance_seconds * 1_000_000))
@@ -181,6 +206,24 @@ def asof_join(
     return matched.select(*out_cols)
 
 
+def _epoch_s(df: DataFrame, col: str) -> Column:
+    """Whole seconds from the epoch on the column's NATIVE semantics —
+    the tz-independent replacement for ``unix_timestamp`` in bucket
+    math. ``unix_timestamp`` on a TIMESTAMP_NTZ column resolves the
+    naive value through the SESSION timezone, which is non-monotonic
+    across a DST spring-forward gap (see _wall_epoch_us): an interval
+    starting in the gap could compute a bucket range that excludes an
+    event the residual theta filter would keep — a silent row drop.
+    NTZ/DATE use pure field arithmetic; TIMESTAMP keeps exact physical
+    epoch seconds (monotonic by definition)."""
+    t = df.schema[col].dataType.simpleString()
+    if t == "timestamp_ntz":
+        return (_wall_epoch_us(F.col(col)) / F.lit(1_000_000)).cast("long")
+    if t == "date":
+        return F.unix_date(F.col(col)).cast("long") * F.lit(86400)
+    return F.unix_timestamp(F.col(col))
+
+
 def _median_interval_width(
     intervals: DataFrame, start_col: str, end_col: str
 ) -> DataFrame:
@@ -191,8 +234,7 @@ def _median_interval_width(
         F.greatest(
             F.lit(1).cast("long"),
             F.percentile_approx(
-                F.unix_timestamp(F.col(end_col))
-                - F.unix_timestamp(F.col(start_col)),
+                _epoch_s(intervals, end_col) - _epoch_s(intervals, start_col),
                 F.lit(0.5),
             ).cast("long"),
         ).alias("_rj_width")
@@ -238,17 +280,20 @@ def bucketed_interval_join(
     else:
         ev0, iv0 = events, intervals
         b = F.lit(bucket_seconds).cast("long")
+    # tz-independent epoch seconds (see _epoch_s): both sides derive
+    # buckets from the same fixed epoch on their native types, so the
+    # equi-key is monotonic in the timestamps regardless of session tz
     ev = ev0.withColumn(
-        "_rj_bucket", (F.unix_timestamp(F.col(ts_col)) / b).cast("long")
+        "_rj_bucket", (_epoch_s(events, ts_col) / b).cast("long")
     )
     iv = iv0.withColumn(
         "_rj_bucket",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(F.col(start_col)) / b).cast("long"),
+                (_epoch_s(intervals, start_col) / b).cast("long"),
                 # end is exclusive, but a bucket straddling end still
                 # holds in-range events: include the end's bucket.
-                (F.unix_timestamp(F.col(end_col)) / b).cast("long"),
+                (_epoch_s(intervals, end_col) / b).cast("long"),
             )
         ),
     )

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deidentify_spark.functions.text_stats import RE2_WS_CLASS
+from deidentify_spark.runtime import tracked_persist
 
 __all__ = ["bm25_topk", "bm25_oracle_sql"]
 
@@ -82,10 +83,8 @@ def bm25_topk(
     # window-count over term instead would collapse each term's rows
     # into ONE partition — a skew bomb for a common term at corpus
     # scale — hence aggregate + broadcast, not window.)
-    tf = (
-        toks.groupBy(id_col, "_dl", "_term")
-        .agg(F.count(F.lit(1)).alias("_tf"))
-        .persist()
+    tf = tracked_persist(
+        toks.groupBy(id_col, "_dl", "_term").agg(F.count(F.lit(1)).alias("_tf"))
     )
     stats = df.agg(
         F.count(F.lit(1)).alias("_n"), F.avg(F.size(words)).alias("_avgdl")

@@ -230,10 +230,20 @@ def write_warc(
                     rec = render_response_record(str(url), ts, bytes(html))
                     f.write(_gzip_member(rec) if per_record_gzip else rec)
                     n += 1
-        os.replace(tmp, path)  # atomic publish
+        try:
+            os.replace(tmp, path)  # atomic publish
+        except FileNotFoundError:
+            # a concurrent attempt of this partition published first and
+            # its post-publish sweep removed OUR temp — the output file
+            # exists and is complete (every attempt writes the same
+            # partition), so treat as already-published, don't fail the
+            # task (a failed os.replace here consumed a retry and could
+            # fail a job off a zombie first attempt)
+            pass
         # best-effort sweep of orphaned temps from dead/losing attempts
         # of THIS partition (safe post-publish: a still-running
-        # speculative twin is redundant once we've committed)
+        # speculative twin is redundant once we've committed, and its
+        # own os.replace tolerates the missing temp per above)
         import glob
 
         for stale in glob.glob(f"{path}.attempt-*.inprogress"):

@@ -90,11 +90,22 @@ def main(argv: list[str] | None = None) -> int:
     # every dropped doc collapsed onto the empty string). Perplexity
     # rides along as the DSIR target signal.
     filtered = run_pipeline(pages, PipelineConfig(secret_key=args.secret_key))
-    docs = filtered.where("keep").select(
-        F.xxhash64("url").alias("doc_id"),
-        "url",
-        F.col("scrubbed_text").alias("text"),
-        "perplexity",
+    # doc_id = xxhash64(url) MUST be unique before the chain: duplicate
+    # urls in a real --input (or a 64-bit collision at scale) would
+    # multiply rows through dsir_select's doc_id join and corrupt
+    # shard_pos. dropDuplicates keeps one arbitrary row per id — a
+    # duplicate url is the same page crawled twice (exact dedup would
+    # collapse it anyway), and a true hash collision drops one doc in
+    # 2^64 — both acceptable, neither silent row multiplication.
+    docs = (
+        filtered.where("keep")
+        .select(
+            F.xxhash64("url").alias("doc_id"),
+            "url",
+            F.col("scrubbed_text").alias("text"),
+            "perplexity",
+        )
+        .dropDuplicates(["doc_id"])
     )
     # parquet barrier: every downstream stage re-reads this slice
     # instead of re-running the Arrow filter+scrub chain
@@ -141,6 +152,13 @@ def main(argv: list[str] | None = None) -> int:
         "docs": n_sel,
         "wall_s": round(time.time() - t0, 1),
     }
+    # every consumer of dsir_select's slim-projection cache (the count
+    # above AND the shard write, which reads `selected` again) is done —
+    # release the operator-registered caches (runtime.py) so a composed
+    # caller running many selections doesn't accumulate them
+    from deidentify_spark.runtime import release_tracked
+
+    release_tracked()
 
     print(
         json.dumps(

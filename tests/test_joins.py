@@ -317,3 +317,53 @@ def test_interval_join_plan_is_equi_join(spark, interval_frames):
         j in plan
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
     ), plan
+
+
+def test_interval_join_ntz_buckets_across_dst_gap(spark):
+    """TIMESTAMP_NTZ interval join under a non-UTC session timezone,
+    with intervals/events inside the 2024-03-10 02:00-03:00
+    America/New_York spring-forward gap (naive times that never existed
+    locally): bucket derivation must be tz-independent wall-clock
+    arithmetic. The pre-fix unix_timestamp form mapped naive->epoch
+    through the session tz — non-monotonic in the gap — so an interval
+    starting in the gap could compute a bucket range excluding an event
+    the residual theta filter keeps, silently dropping the row."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # NTZ values built IN Spark from strings: feeding Python
+        # datetimes through createDataFrame converts via the session tz,
+        # which already mangles gap times before the operator runs
+        events = spark.createDataFrame(
+            [
+                (1, "2024-03-10 02:15:00"),  # inside the gap
+                (2, "2024-03-10 02:45:00"),  # inside the gap
+                (3, "2024-03-10 03:10:00"),  # after the gap
+                (4, "2024-03-10 01:50:00"),  # before the gap
+            ],
+            "event_id long, s string",
+        ).select("event_id", F.to_timestamp_ntz("s").alias("ts"))
+        intervals = spark.createDataFrame(
+            [
+                (100, "2024-03-10 02:10:00", "2024-03-10 02:50:00"),
+                (200, "2024-03-10 01:40:00", "2024-03-10 03:20:00"),
+            ],
+            "iv_id long, s1 string, s2 string",
+        ).select(
+            "iv_id",
+            F.to_timestamp_ntz("s1").alias("start_ts"),
+            F.to_timestamp_ntz("s2").alias("end_ts"),
+        )
+        for bucket_seconds in (None, 600, 3600):
+            got = sorted(
+                (r.event_id, r.iv_id)
+                for r in bucketed_interval_join(
+                    events, intervals, "ts", "start_ts", "end_ts",
+                    bucket_seconds=bucket_seconds,
+                ).collect()
+            )
+            assert got == [
+                (1, 100), (1, 200), (2, 100), (2, 200), (3, 200), (4, 200),
+            ], (bucket_seconds, got)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
