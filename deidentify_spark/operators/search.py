@@ -37,13 +37,18 @@ skipping the barrier saves its full-text repartition shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from deidentify_spark.functions.text_stats import RE2_WS_CLASS
 from deidentify_spark.runtime import tracked_persist
 
-__all__ = ["bm25_topk", "bm25_oracle_sql"]
+__all__ = [
+    "bm25_topk",
+    "bm25_topk_multi",
+    "bm25_oracle_sql",
+    "bm25_multi_oracle_sql",
+]
 
 
 def bm25_topk(
@@ -163,4 +168,157 @@ def bm25_oracle_sql(
         FROM scored
         ORDER BY ROUND(s, 4) DESC, {id_col}
         LIMIT {k}
+    """
+
+
+def bm25_topk_multi(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch BM25: per-query top-``k`` for MANY queries in ONE corpus
+    pass — ``(query_id, id_col, bm25)`` ordered by (query_id, rounded
+    score desc, id asc). A real audit-search pass runs hundreds of
+    queries; looping ``bm25_topk`` would re-scan the corpus per query.
+
+    Scale shape: the exploded token stream filters to the UNION of all
+    query terms immediately; the (doc, term, tf) aggregate materializes
+    ONCE (tracked persist — it feeds the per-term doc-freq aggregate
+    and the scoring join, exactly the single-query posture); idf and
+    the (query_id, term) table broadcast (O(total query terms) rows);
+    scoring is one partial-aggregated groupBy(query_id, doc) sum. The
+    per-query top-k window (row_number <= k over query_id) is NOT the
+    hot-key trap it looks like: Spark's WindowGroupLimit rule inserts a
+    PARTIAL per-input-partition top-k before the exchange (pinned in
+    tests/test_plans.py), so a query matching most of the corpus ships
+    at most tasks x k rows to its final window — the built-in
+    equivalent of the salted two-level ranking, one exchange cheaper
+    (a hand-salted first level was built, measured plan-identical in
+    survivors, and removed as redundant).
+
+    Ranking orders by the ROUNDED (4 dp) score with ``id_col`` asc as
+    the tie-break, so results are deterministic and the DuckDB twin
+    (``bm25_multi_oracle_sql``) resolves boundary ties identically.
+    Terms match lowercase-exact; a term shared by several queries is
+    tf-counted once and scored per query.
+    """
+    all_terms = sorted({t.lower() for terms in queries.values() for t in terms})
+    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
+    toks = df.select(
+        F.col(id_col),
+        F.size(words).alias("_dl"),
+        F.explode(words).alias("_term"),
+    ).where(F.col("_term").isin(all_terms))
+    tf = tracked_persist(
+        toks.groupBy(id_col, "_dl", "_term").agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg(F.size(words)).alias("_avgdl")
+    )
+    idf = (
+        tf.groupBy("_term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_term",
+            F.log(
+                1.0 + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+            ).alias("_idf"),
+            "_avgdl",
+        )
+    )
+    qterms = df.sparkSession.createDataFrame(
+        sorted(
+            {(qid, t.lower()) for qid, terms in queries.items() for t in terms}
+        ),
+        "query_id string, _term string",
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "_term")
+        .join(F.broadcast(qterms), "_term")
+        .withColumn(
+            "_s",
+            F.col("_idf")
+            * (F.col("_tf") * (k1 + 1.0))
+            / (
+                F.col("_tf")
+                + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avgdl"))
+            ),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("bm25"))
+    )
+    order = [F.desc("bm25"), F.col(id_col).asc()]
+    final = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(final))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .orderBy("query_id", *order)
+    )
+
+
+def bm25_multi_oracle_sql(
+    table: str,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of bm25_topk_multi: same tokenization/idf, the
+    (query_id, term) table as VALUES, a plain per-query ROW_NUMBER
+    (single-node SQL doesn't need the salted two-level form), ranking
+    on the ROUNDED score with id tie-break — identical boundary
+    resolution."""
+    all_terms = sorted({t.lower() for terms in queries.values() for t in terms})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ",\n                 ".join(
+        f"('{qid}', '{t.lower()}')"
+        for qid, terms in sorted(queries.items())
+        for t in sorted({x.lower() for x in terms})
+    )
+    words = (
+        f"regexp_split_to_array(lower(trim({text_col}, ' ')), '[ \\t\\n\\f\\r]+')"
+    )
+    return f"""
+        WITH docs AS (SELECT {id_col}, {words} AS w FROM {table}),
+        toks AS (
+            SELECT {id_col}, len(w) AS dl, unnest(w) AS term FROM docs
+        ),
+        tf AS (
+            SELECT {id_col}, dl, term, COUNT(*) AS tf
+            FROM toks WHERE term IN ({in_list})
+            GROUP BY {id_col}, dl, term
+        ),
+        stats AS (SELECT COUNT(*) AS n, AVG(len(w)) AS avgdl FROM docs),
+        idf AS (
+            SELECT term,
+                   ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf,
+                   avgdl
+            FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), stats
+        ),
+        q(query_id, term) AS (VALUES
+                 {qvals}),
+        scored AS (
+            SELECT q.query_id, t.{id_col},
+                   ROUND(SUM(i.idf * (t.tf * ({k1} + 1.0))
+                       / (t.tf + {k1} * (1.0 - {b} + {b} * t.dl / i.avgdl))),
+                       4) AS bm25
+            FROM tf t JOIN idf i USING (term) JOIN q USING (term)
+            GROUP BY q.query_id, t.{id_col}
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, {id_col}
+            ) AS rn FROM scored
+        )
+        SELECT query_id, {id_col}, bm25
+        FROM ranked WHERE rn <= {k}
+        ORDER BY query_id, bm25 DESC, {id_col}
     """
