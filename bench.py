@@ -81,6 +81,9 @@ BENCH_QUERIES = [
     "bm25_search_documents",
     "shard_assignment_documents",
     "quality_auc_documents",
+    "pagerank_trade_network",
+    "vocab_topk_documents",
+    "tfidf_top_terms_documents",
     "scrub_documents",
 ]
 

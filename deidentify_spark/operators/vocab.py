@@ -1,0 +1,153 @@
+"""Corpus vocabulary statistics and TF-IDF term weighting — the
+feature-extraction primitives a tokenizer-training / corpus-analysis
+pass needs (vocabulary frequency tables feed BPE training and
+Zipf-shape corpus QA; TF-IDF top terms are the classic per-document
+keyword signal and the usual NB/quality-classifier feature weighting).
+
+No reference counterpart (deidentify.go has no text-analytics surface);
+these extend §2.G alongside `operators/search.py` (BM25 — which already
+computes tf/df internally; this module exposes the corpus-level and
+per-document views as first-class outputs).
+
+Scale posture:
+* word explode → groupBy(term) count is the canonical map-side-combined
+  aggregation; the hot keys ("the") are absorbed by partial aggregation
+  before the shuffle, so skew is a non-issue by construction;
+* top-k vocabulary uses sort+limit (TakeOrdered — O(k) per partition,
+  never a global sort); the rank column is a row_number over the
+  ALREADY-LIMITED k rows, so the single-partition window holds k rows,
+  not the vocabulary;
+* TF-IDF joins the per-(doc,term) tf table to the vocabulary df table
+  on term — an equi-join AQE broadcasts when the vocabulary is small
+  and shuffle-joins (with skew splitting) when it is not; the top-terms
+  window partitions by doc_id, bounded by document length;
+* corpus size N enters as a 1-row aggregate broadcast-crossJoined into
+  the plan — no driver action, the whole query stays lazy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _words(docs: DataFrame, text_col: str, *cols: str) -> DataFrame:
+    """Explode whitespace-split terms, dropping empties (consecutive
+    separators)."""
+    return (
+        docs.select(*cols, F.explode(F.split(F.col(text_col), " ")).alias("term"))
+        .where(F.col("term") != "")
+    )
+
+
+def vocab_topk(docs: DataFrame, *, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Top-k corpus vocabulary: (term, n, freq, rank).
+
+    ``freq`` is the term's share of ALL tokens (denominator over the
+    full vocabulary, not the top-k slice). rank is 1-based by
+    (n desc, term asc) — the Zipf rank axis.
+    """
+    counts = _words(docs, text_col).groupBy("term").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    top = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(k)
+        .crossJoin(F.broadcast(total))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term"))
+    return top.select(
+        "term",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("freq"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 3,
+) -> DataFrame:
+    """Per-document top-n terms by smoothed TF-IDF:
+    (doc_id, term, tf, tfidf, rank).
+
+    idf = ln((N + 1) / (df + 1)) + 1 (sklearn's smooth-idf form, a
+    published convention both engines can reproduce bit-for-bit from
+    integer inputs). Ties break on term asc so output is deterministic.
+    """
+    tf = (
+        _words(docs, text_col, id_col)
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + F.lit(1.0))
+            ).alias("_tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_tfidf").desc(), F.col("term"))
+    return (
+        scored.select(
+            id_col, "term", "tf",
+            F.round("_tfidf", 6).alias("tfidf"),
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= top_n)
+    )
+
+
+VOCAB_TOPK_SQL = """
+    WITH words AS (
+        SELECT UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    counts AS (
+        SELECT term, COUNT(*) AS n FROM words WHERE term <> '' GROUP BY term
+    ),
+    total AS (SELECT SUM(n) AS total FROM counts)
+    SELECT term, n,
+           ROUND(n / (SELECT total FROM total), 6) AS freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS INT) AS rank
+    FROM counts
+    ORDER BY n DESC, term
+    LIMIT {k}
+"""
+
+TFIDF_TOP_TERMS_SQL = """
+    WITH words AS (
+        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM words WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df_t AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * (LN((nn.n_docs + 1) / (df_t.df + 1.0)) + 1.0) AS _tfidf
+        FROM tf JOIN df_t ON tf.term = df_t.term, nn
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf,
+               ROUND(_tfidf, 6) AS tfidf,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY _tfidf DESC, term
+               ) AS INT) AS rank
+        FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, rank
+    FROM ranked WHERE rank <= {top_n}
+    ORDER BY doc_id, rank
+"""

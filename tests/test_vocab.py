@@ -1,0 +1,91 @@
+"""Vocabulary / TF-IDF (operators/vocab.py): hand-computed fixtures and
+DuckDB-twin parity."""
+
+import math
+
+import pandas as pd
+import pytest
+
+from deidentify_spark.operators.vocab import (
+    TFIDF_TOP_TERMS_SQL,
+    VOCAB_TOPK_SQL,
+    tfidf_top_terms,
+    vocab_topk,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat  cat dog"),  # double space -> empty token must be dropped
+    (3, ""),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_vocab_counts_freq_rank(docs):
+    rows = {r["term"]: r for r in vocab_topk(docs, k=10).collect()}
+    # totals: the=3, cat=3, sat=2, dog=2, on=1, mat=1 -> 12 tokens
+    assert rows["the"]["n"] == 3 and rows["cat"]["n"] == 3
+    assert rows["sat"]["n"] == 2 and rows["dog"]["n"] == 2
+    assert rows["cat"]["freq"] == pytest.approx(round(3 / 12, 6))
+    # rank ties break on term asc: cat(1), the(2), dog(3), sat(4)
+    assert rows["cat"]["rank"] == 1 and rows["the"]["rank"] == 2
+    assert rows["dog"]["rank"] == 3 and rows["sat"]["rank"] == 4
+
+
+def test_vocab_k_limit_is_deterministic(docs):
+    top = vocab_topk(docs, k=3).collect()
+    assert [r["term"] for r in sorted(top, key=lambda r: r["rank"])] == [
+        "cat", "the", "dog",
+    ]
+
+
+def test_tfidf_hand_value(docs):
+    out = tfidf_top_terms(docs, top_n=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2: cat tf=2 df=2, dog tf=1 df=2; N=4 docs
+    idf = math.log((4 + 1) / (2 + 1)) + 1
+    d2 = {r["term"]: r for r in by_doc[2]}
+    assert d2["cat"]["tfidf"] == pytest.approx(round(2 * idf, 6))
+    assert d2["cat"]["rank"] == 1 and d2["dog"]["rank"] == 2
+    # empty doc yields no rows; every doc emits at most top_n rows
+    assert 3 not in by_doc
+    assert all(len(v) <= 2 for v in by_doc.values())
+
+
+def test_duckdb_twins_match(spark, docs):
+    import duckdb
+
+    pdf = pd.DataFrame(DOCS, columns=["doc_id", "text"])
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    for sdf, sql in (
+        (vocab_topk(docs, k=10), VOCAB_TOPK_SQL.format(k=10)),
+        (tfidf_top_terms(docs, top_n=3), TFIDF_TOP_TERMS_SQL.format(top_n=3)),
+    ):
+        s = sdf.toPandas()
+        o = con.execute(sql).df()
+        cols = sorted(s.columns)
+        pd.testing.assert_frame_equal(
+            s[cols].sort_values(cols).reset_index(drop=True),
+            o[cols].sort_values(cols).reset_index(drop=True),
+            check_dtype=False,
+        )
+
+
+def test_vocab_plan_rank_window_is_post_limit(spark, docs):
+    """The single-partition rank window must sit ABOVE the k-row limit
+    (TakeOrdered), so the unpartitioned window only ever sees k rows."""
+    plan = (
+        vocab_topk(docs, k=10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
