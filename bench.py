@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "pagerank_trade_network",
     "vocab_topk_documents",
     "tfidf_top_terms_documents",
+    "zorder_events",
     "scrub_documents",
 ]
 
