@@ -66,18 +66,24 @@ def pagerank(
     trans = e.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("tw")).alias("p")
     )
-    # Dangling nodes contribute their whole rank back uniformly.
-    dangling = nodes.join(
+    # Dangling nodes contribute their whole rank back uniformly. The
+    # membership flag is joined ONCE here and then carried through the
+    # iterations on the rank vector itself, so the per-round dangling
+    # mass is a map-side filtered aggregate — not a rank-vector-sized
+    # join per iteration (measured 61s -> see BASELINE.md rehearsal).
+    nodes = nodes.join(
         outw.select(F.col("src").alias("node")), "node", "left_anti"
+    ).select("node", F.lit(True).alias("_dang")).unionByName(
+        outw.select(F.col("src").alias("node"), F.lit(False).alias("_dang"))
     )
     # The single driver scalar; everything below is lazy.
     n = nodes.count()
     base = (1.0 - damping) / n
 
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    ranks = nodes.select("node", "_dang", F.lit(1.0 / n).alias("rank"))
     for i in range(n_iter):
         dmass = (
-            ranks.join(dangling, "node")
+            ranks.where(F.col("_dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
         contrib = (
@@ -90,6 +96,7 @@ def pagerank(
             .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
+                "_dang",
                 (
                     F.lit(base)
                     + F.lit(damping)
@@ -104,7 +111,7 @@ def pagerank(
         # PageRank shape (GraphX does the same).
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank")
 
 
 def pagerank_oracle_sql(
