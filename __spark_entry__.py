@@ -685,6 +685,54 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_flags(corpus, ev, n=8).orderBy("doc_id")
 
 
+def fuzzy_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (MinHash-LSH corpus-vs-eval): corpus docs
+    (even ids) sharing any full band signature with an eval doc (odd
+    ids — the parity split crosses the generator's near-dup templates,
+    so paraphrase-level contamination exists). The eval membership
+    broadcasts; no bucket self-join, no pair emission
+    (operators/curation.py)."""
+    from deidentify_spark.operators.curation import fuzzy_decontaminate_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return fuzzy_decontaminate_flags(corpus, ev, n=3, k=8, bands=4).orderBy(
+        "doc_id"
+    )
+
+
+def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-40 global sample by md5(seed:id) rank — the
+    eval-carve-out primitive (TakeOrderedAndProject: per-partition
+    heaps, no global sort; operators/curation.py)."""
+    from deidentify_spark.operators.curation import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_exact_k(docs, k=40, seed=42).select(
+        "doc_id", "source"
+    )
+
+
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per anchor (vec_id < 4), the top-5 corpus
+    vectors with cosine in [0.1, 0.95) — informative-but-not-duplicate
+    contrastive negatives. Broadcast anchors, one corpus pass, two-phase
+    bucketed top-k (operators/similarity.py)."""
+    from deidentify_spark.operators.similarity import hard_negatives_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    out = hard_negatives_topk(
+        emb, anchors, k=5, lo=0.1, hi=0.95, id_col="vec_id"
+    )
+    return out.select("anchor_id", "vec_id", "cosine", "rank").orderBy(
+        "anchor_id", "rank"
+    )
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing summary: docs laid end-to-end
     per source, cut every 512 whitespace tokens; one row per
@@ -1735,13 +1783,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_search_documents": bm25_multi_search_documents,
         "line_dedup_documents": line_dedup_documents,
         "pack_sequences_documents": pack_sequences_documents,
-        # ---- round-6 additions (never certified; displace three
+        # ---- round-6 additions (never certified; displace six
         # UNCHANGED r5-certified queries — approx_distinct,
-        # sliding_window, percentile — to the tail)
+        # sliding_window, percentile, text_stats, json_events,
+        # events_tumbling — to the tail)
         "pagerank_trade_network": pagerank_trade_network,
         "vocab_topk_documents": vocab_topk_documents,
         "tfidf_top_terms_documents": tfidf_top_terms_documents,
         "zorder_events": zorder_events,
+        "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
+        "exact_k_sample_documents": exact_k_sample_documents,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
         # ---- r5 head minus the five displaced unchanged queries
         "embedding_near_dups": embedding_near_dups,
         "dedup_cap_lineage": dedup_cap_lineage,
@@ -1751,9 +1803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "minhash_incremental_documents": minhash_incremental_documents,
-        "text_stats_documents": text_stats_documents,
-        "json_events_avg_by_type": json_events_avg_by_type,
-        "events_tumbling_10min": events_tumbling_10min,
         "stratified_sample_documents": stratified_sample_documents,
         "scrub_documents": scrub_documents,
         # ---- retained head: one representative per operator family
@@ -1793,6 +1842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were green in an official CORRECTNESS_r{4,5}.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
         "approx_distinct_documents": approx_distinct_documents,
+        "text_stats_documents": text_stats_documents,
+        "json_events_avg_by_type": json_events_avg_by_type,
+        "events_tumbling_10min": events_tumbling_10min,
         "daily_order_momentum": daily_order_momentum,
         "sliding_window_events": sliding_window_events,
         "percentile_order_value_by_priority": percentile_order_value_by_priority,
@@ -2784,6 +2836,79 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT gram)::BIGINT AS n_distinct_eval_grams_hit
             FROM corpus JOIN ev USING (gram)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        # same banded-minhash CTEs as minhash_lsh_candidates_documents,
+        # split corpus (even ids) vs eval (odd ids) and joined across —
+        # no pair emission, so no bucket cap appears on either side
+        "fuzzy_decontaminate_documents": r"""
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), mh AS (
+                SELECT doc_id,
+                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
+                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
+                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
+                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
+                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
+                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
+                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
+                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
+                UNION ALL
+                SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            ), corpus AS (
+                SELECT doc_id, band, sig FROM bands WHERE doc_id % 2 = 0
+            ), ev AS (
+                SELECT DISTINCT doc_id AS eval_id, band, sig
+                FROM bands WHERE doc_id % 2 = 1
+            )
+            SELECT c.doc_id,
+                   COUNT(DISTINCT e.eval_id) AS n_eval_docs_hit,
+                   COUNT(DISTINCT c.band) AS n_bands_hit
+            FROM corpus c
+            JOIN ev e ON c.band = e.band AND c.sig = e.sig
+            GROUP BY c.doc_id
+            ORDER BY c.doc_id
+        """,
+        "exact_k_sample_documents": """
+            SELECT doc_id, source
+            FROM documents
+            ORDER BY md5('42:'||doc_id::VARCHAR), doc_id
+            LIMIT 40
+        """,
+        "hard_negatives_embeddings": """
+            WITH anchors AS (
+                SELECT vec_id AS anchor_id, embedding AS avec
+                FROM embeddings WHERE vec_id < 4
+            ), scored AS (
+                SELECT a.anchor_id, e.vec_id,
+                       ROUND(list_cosine_similarity(e.embedding, a.avec), 4)
+                           AS cosine
+                FROM embeddings e, anchors a
+                WHERE e.vec_id != a.anchor_id
+            )
+            SELECT anchor_id, vec_id, cosine,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cosine DESC, vec_id
+                   ) AS INT) AS rank
+            FROM scored
+            WHERE cosine >= 0.1 AND cosine < 0.95
+            QUALIFY rank <= 5
+            ORDER BY anchor_id, rank
         """,
         # toxicity: token normalization (lower/ws-split/strip outer
         # non-alnum) and the word-boundary mask regexp are replicated

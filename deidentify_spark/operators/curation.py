@@ -383,6 +383,76 @@ def decontaminate_flags(
     )
 
 
+def fuzzy_decontaminate_flags(
+    df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus docs that are
+    MinHash-LSH-similar to any evaluation document — the paraphrase /
+    light-edit contamination the exact n-gram pass
+    (``decontaminate_flags``) cannot see (a reworded eval question
+    shares few verbatim 8-grams but most of its shingle set, so its
+    banded minhash signature still collides).
+
+    Returns (id, n_eval_docs_hit, n_bands_hit) per flagged corpus doc:
+    how many distinct eval docs share >=1 full band signature, and in
+    how many of the doc's ``bands`` band slots a collision occurred
+    (bands hit ~ estimated Jaccard via the LSH S-curve; callers gate on
+    it when one-band collisions are too noisy).
+
+    Scale shape mirrors ``decontaminate_flags``: the eval side is tiny
+    (benchmarks are thousands of docs) so its (band, sig, eval_id)
+    membership BROADCASTS and the corpus side is one narrow
+    signature map + broadcast hash join — corpus band rows never
+    shuffle. No bucket self-join exists in this plan at all (unlike the
+    corpus-vs-corpus LSH operator there is no pair emission), so no
+    bucket cap is needed: a degenerate boilerplate signature costs one
+    broadcast-probe per corpus row, not C(m,2) pairs."""
+    from deidentify_spark.operators.dedup import _minhash_band_membership
+
+    corpus = _minhash_band_membership(df, n, k, bands, text_col, id_col)
+    ev = (
+        _minhash_band_membership(eval_df, n, k, bands, text_col, id_col)
+        .withColumnRenamed(id_col, "_eval_id")
+        .distinct()
+    )
+    hits = corpus.join(F.broadcast(ev), ["band", "sig"])
+    return hits.groupBy(id_col).agg(
+        F.count_distinct("_eval_id").alias("n_eval_docs_hit"),
+        F.count_distinct("band").alias("n_bands_hit"),
+    )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACTLY-k global sample: rank every row by
+    md5(f"{seed}:{id}") and keep the k smallest. The complement to
+    ``stratified_sample`` (per-stratum Bernoulli — exact in expectation
+    only): eval-set carve-outs, human-review draws, and calibration
+    panels need an exact count, reproducible across retries, reruns and
+    cluster sizes (no RNG state — the keep set is a pure function of
+    (seed, id), and adding/removing OTHER rows only perturbs the sample
+    at the rank-k boundary).
+
+    Scale shape: Spark compiles orderBy+limit to TakeOrderedAndProject —
+    a size-k heap per partition, then a single k*n_partitions merge; no
+    global sort, no full shuffle. Driver/final-task memory is O(k),
+    so this is for k in the thousands-to-millions band (an eval draw),
+    not "sample half the corpus" — that is ``stratified_sample``'s job.
+    """
+    u = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    return df.orderBy(u.asc(), F.col(id_col)).limit(k)
+
+
 def line_dedup(
     df: DataFrame,
     min_dup: int = 2,

@@ -169,6 +169,78 @@ def cosine_topk_ivf(
     return cosine_topk_bruteforce(cands, query_vec, k, id_col, vec_col)
 
 
+def hard_negatives_topk(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    lo: float = 0.1,
+    hi: float = 0.95,
+    n_buckets: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for every
+    anchor vector, the top-``k`` corpus vectors whose cosine falls in
+    [``lo``, ``hi``) — similar enough to be informative negatives, but
+    below the near-duplicate band (contrastive training's standard
+    candidate set; InfoNCE/SimCSE-style pipelines mine these offline).
+
+    Returns (anchor_id, vec_id, cosine, rank) with rank 1..k per anchor
+    (ties broken by id; cosine is rounded to 4 decimals BEFORE ranking so
+    the ordering is engine-portable, same convention as
+    ``cosine_topk_bruteforce``).
+
+    Scale shape: the anchor set is small by definition (a training batch
+    or a probe panel — thousands, not billions), so it broadcasts and the
+    corpus side is ONE partition-local pass (BroadcastNestedLoopJoin —
+    the only cartesian-family node in the repo that scans the BIG side
+    exactly once; candidate scoring is JVM zip_with/aggregate, no UDF).
+    The per-anchor top-k is TWO-PHASE: phase 1 ranks inside (anchor,
+    id-hash bucket) — ~n/B rows per task — and keeps k; phase 2 ranks
+    the B*k survivors per anchor. A single ``Window.partitionBy(anchor)``
+    would sort each anchor's ENTIRE candidate band in one task (the
+    n_docs-sized skew bomb this repo's DSIR/AUC scans exist to avoid);
+    with B buckets every task is bounded at ~n/B regardless of how many
+    candidates one anchor attracts."""
+    a = anchors.select(
+        F.col(anchor_id_col).alias("_aid"), F.col(anchor_vec_col).alias("_avec")
+    )
+    pairs = emb.select(id_col, vec_col).join(
+        F.broadcast(a), F.col(id_col) != F.col("_aid")
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    av = F.transform(F.col("_avec"), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(v, av, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = pairs.select(
+        F.col("_aid").alias(anchor_id_col),
+        F.col(id_col),
+        F.round(dot / (nv * na), 4).alias("cosine"),
+    ).where((F.col("cosine") >= lo) & (F.col("cosine") < hi))
+
+    from pyspark.sql import Window
+
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    w1 = Window.partitionBy(anchor_id_col, "_b").orderBy(
+        F.desc("cosine"), F.col(id_col)
+    )
+    ph1 = (
+        scored.withColumn("_b", bucket)
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= k)
+        .drop("_b", "_r")
+    )
+    w2 = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return ph1.withColumn("rank", F.row_number().over(w2)).where(
+        F.col("rank") <= k
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_vec: list[float],

@@ -360,3 +360,82 @@ def test_mixture_weights_math_and_composition(spark):
     got = stratified_sample(df, rates, default_rate=0.0).count()
     expect = sum(min(1.0, rates[s]) * n for s, n in [("big", 900), ("mid", 90), ("tiny", 10)])
     assert abs(got - expect) / expect < 0.15  # Bernoulli tolerance
+
+
+# ------------------------------------------- fuzzy decontamination
+
+
+def test_fuzzy_decontaminate_flags_paraphrase(spark):
+    """A corpus doc sharing most (not all) of its shingles with an eval
+    doc must be flagged; an unrelated doc must not. Identical text hits
+    in all 4 bands."""
+    from deidentify_spark.operators.curation import fuzzy_decontaminate_flags
+
+    eval_text = _words("bench", 30)
+    # paraphrase: same 30 words with ONE word changed -> most shingles
+    # (and with 8 hashes, very likely every minhash) survive
+    para = eval_text.replace("bench7", "reworded")
+    rows_corpus = [
+        (10, "s", eval_text),          # verbatim contamination
+        (11, "s", para),               # paraphrase contamination
+        (12, "s", _words("clean", 30)),  # unrelated
+    ]
+    rows_eval = [(99, "s", eval_text)]
+    out = {
+        r["doc_id"]: r
+        for r in fuzzy_decontaminate_flags(
+            _docs(spark, rows_corpus), _docs(spark, rows_eval)
+        ).collect()
+    }
+    assert 10 in out and out[10]["n_bands_hit"] == 4
+    assert out[10]["n_eval_docs_hit"] == 1
+    assert 11 in out and out[11]["n_bands_hit"] >= 1
+    assert 12 not in out
+
+
+def test_fuzzy_decontaminate_eval_side_broadcasts(spark):
+    """The eval membership must ride a broadcast join — corpus band rows
+    never shuffle for the probe."""
+    from deidentify_spark.operators.curation import fuzzy_decontaminate_flags
+
+    rows = [(1, "s", _words("a", 20))]
+    plan = fuzzy_decontaminate_flags(
+        _docs(spark, rows), _docs(spark, rows)
+    )._jdf.queryExecution().sparkPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------ exact-k sample
+
+
+def test_sample_exact_k_deterministic_and_exact(spark):
+    from deidentify_spark.operators.curation import sample_exact_k
+
+    rows = [(i, "s", f"doc {i}") for i in range(200)]
+    df = _docs(spark, rows)
+    a = [r.doc_id for r in sample_exact_k(df, k=25).collect()]
+    b = [r.doc_id for r in sample_exact_k(df.repartition(7), k=25).collect()]
+    assert len(a) == 25 and a == b  # exact count, partitioning-invariant
+    # different seed -> different draw (overwhelming probability)
+    c = [r.doc_id for r in sample_exact_k(df, k=25, seed=7).collect()]
+    assert set(a) != set(c)
+    # removing other rows only perturbs the boundary: survivors of a
+    # subset draw are a superset-rank prefix — every kept id whose rank
+    # was < k stays kept
+    sub = df.where(F.col("doc_id") % 3 != 0)
+    d = {r.doc_id for r in sample_exact_k(sub, k=25).collect()}
+    kept_both = [x for x in a if x % 3 != 0]
+    assert set(kept_both) <= d
+
+
+def test_sample_exact_k_plan_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heaps), not a global Sort."""
+    from deidentify_spark.operators.curation import sample_exact_k
+
+    rows = [(i, "s", f"doc {i}") for i in range(50)]
+    plan = sample_exact_k(
+        _docs(spark, rows), k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan

@@ -736,3 +736,66 @@ def test_minhash_incremental_matches_one_shot(spark, corpus):
         new, store, max_bucket_size=0
     )
     assert none_left.count() == 0
+
+
+# ------------------------------------------------------- hard negatives
+
+
+def test_hard_negatives_band_and_rank(embeddings):
+    """Per-anchor top-k inside [lo, hi): self excluded, the near-dup twin
+    (cosine > hi) excluded, ranks dense 1..k, cosines non-increasing,
+    and the result matches a numpy brute force exactly."""
+    import numpy as np
+
+    from deidentify_spark.operators.similarity import hard_negatives_topk
+
+    anchors = embeddings.where("vec_id < 2").select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    out = hard_negatives_topk(
+        embeddings, anchors, k=5, lo=0.1, hi=0.95, n_buckets=4
+    ).collect()
+
+    rows = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in embeddings.collect()}
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 1}
+    for aid, got in by_anchor.items():
+        got.sort(key=lambda r: r.rank)
+        assert [r.rank for r in got] == list(range(1, len(got) + 1))
+        cosines = [r.cosine for r in got]
+        assert cosines == sorted(cosines, reverse=True)
+        # numpy brute force with the same round-then-rank convention
+        a = rows[aid]
+        cand = []
+        for vid, v in rows.items():
+            if vid == aid:
+                continue
+            c = round(float(v @ a / (np.linalg.norm(v) * np.linalg.norm(a))), 4)
+            if 0.1 <= c < 0.95:
+                cand.append((-c, vid))
+        cand.sort()
+        expect = [(vid, -nc) for nc, vid in cand[:5]]
+        assert [(r.vec_id, r.cosine) for r in got] == pytest.approx(expect)
+        # the twin (cosine ~0.99+) must NOT appear — it is a near-dup,
+        # not a hard negative
+        assert (aid ^ 1) not in [r.vec_id for r in got]
+
+
+def test_hard_negatives_phase1_window_is_bucketed(embeddings):
+    """The phase-1 row_number window must partition by (anchor, bucket) —
+    a plain per-anchor window would sort each anchor's whole candidate
+    band in one task."""
+    from deidentify_spark.operators.similarity import hard_negatives_topk
+
+    anchors = embeddings.where("vec_id < 2").select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    plan = hard_negatives_topk(
+        embeddings, anchors, k=5, n_buckets=4
+    )._jdf.queryExecution().optimizedPlan().toString()
+    # two Window nodes: the first (inner, bucketed) partitions by _b
+    assert "_b" in plan
+    assert plan.count("row_number") >= 2
