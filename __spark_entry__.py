@@ -733,6 +733,50 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def domain_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (FineWeb 'no host dominates' pass): keep at most
+    10 docs per source, deterministic md5 priority, two-phase bucketed
+    ranking — never one sort task per host (operators/curation.py)."""
+    from deidentify_spark.operators.curation import domain_cap
+
+    docs = _t(spark, sf_dir, "documents")
+    out = domain_cap(docs, max_per_group=10, seed=42, group_col="source")
+    return out.select("doc_id", "source", "group_rank").orderBy(
+        "source", "group_rank"
+    )
+
+
+def within_doc_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-doc duplicated-line removal (C4 page-local boilerplate):
+    each doc is wrapped in deterministic chrome — a nav header that
+    repeats after the body, and a pager line doubled on even ids — and
+    the pass keeps first occurrences only. Pure map-side array_distinct,
+    zero shuffle (operators/curation.py)."""
+    from deidentify_spark.operators.curation import within_doc_line_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pg = F.concat(F.lit("page "), (F.col("doc_id") % 5).cast("string"))
+    built = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("nav home about\n"),
+            F.col("text"),
+            F.lit("\nnav home about\n"),
+            pg,
+            F.when(
+                F.col("doc_id") % 2 == 0, F.concat(F.lit("\n"), pg)
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = within_doc_line_dedup(built)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_lines_removed",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing summary: docs laid end-to-end
     per source, cut every 512 whitespace tokens; one row per
@@ -1783,10 +1827,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_search_documents": bm25_multi_search_documents,
         "line_dedup_documents": line_dedup_documents,
         "pack_sequences_documents": pack_sequences_documents,
-        # ---- round-6 additions (never certified; displace six
+        # ---- round-6 additions (never certified; displace eight
         # UNCHANGED r5-certified queries — approx_distinct,
         # sliding_window, percentile, text_stats, json_events,
-        # events_tumbling — to the tail)
+        # events_tumbling, orc_roundtrip, pii_mapping_audit — to
+        # the tail)
         "pagerank_trade_network": pagerank_trade_network,
         "vocab_topk_documents": vocab_topk_documents,
         "tfidf_top_terms_documents": tfidf_top_terms_documents,
@@ -1794,11 +1839,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_decontaminate_documents": fuzzy_decontaminate_documents,
         "exact_k_sample_documents": exact_k_sample_documents,
         "hard_negatives_embeddings": hard_negatives_embeddings,
+        "domain_cap_documents": domain_cap_documents,
+        "within_doc_line_dedup_documents": within_doc_line_dedup_documents,
         # ---- r5 head minus the five displaced unchanged queries
         "embedding_near_dups": embedding_near_dups,
         "dedup_cap_lineage": dedup_cap_lineage,
-        "orc_roundtrip_documents": orc_roundtrip_documents,
-        "pii_mapping_audit_documents": pii_mapping_audit_documents,
         "asof_forward_events": asof_forward_events,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
@@ -1842,6 +1887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # were green in an official CORRECTNESS_r{4,5}.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
         "approx_distinct_documents": approx_distinct_documents,
+        "orc_roundtrip_documents": orc_roundtrip_documents,
+        "pii_mapping_audit_documents": pii_mapping_audit_documents,
         "text_stats_documents": text_stats_documents,
         "json_events_avg_by_type": json_events_avg_by_type,
         "events_tumbling_10min": events_tumbling_10min,
@@ -2882,6 +2929,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN ev e ON c.band = e.band AND c.sig = e.sig
             GROUP BY c.doc_id
             ORDER BY c.doc_id
+        """,
+        "domain_cap_documents": """
+            SELECT doc_id, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('42:'||doc_id::VARCHAR), doc_id
+                   ) AS INT) AS group_rank
+            FROM documents
+            QUALIFY group_rank <= 10
+            ORDER BY source, group_rank
+        """,
+        # chrome construction + keep-first-occurrence replicated with a
+        # positional explode; Spark's array_distinct preserves
+        # first-occurrence order, so rn=1 rows joined in pos order
+        # rebuild the identical cleaned text
+        "within_doc_line_dedup_documents": """
+            WITH built AS (
+                SELECT doc_id,
+                       'nav home about'||chr(10)||text||chr(10)
+                       ||'nav home about'||chr(10)
+                       ||'page '||(doc_id % 5)::VARCHAR
+                       ||CASE WHEN doc_id % 2 = 0
+                              THEN chr(10)||'page '||(doc_id % 5)::VARCHAR
+                              ELSE '' END AS t
+                FROM documents
+            ), arrs AS (
+                SELECT doc_id, string_split(t, chr(10)) AS a FROM built
+            ), lines AS (
+                SELECT doc_id, i AS pos, a[i] AS line
+                FROM arrs, unnest(generate_series(1, len(a))) AS g(i)
+            ), ranked AS (
+                SELECT doc_id, pos, line,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id, line ORDER BY pos
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY doc_id) AS n_all
+                FROM lines
+            )
+            SELECT doc_id,
+                   CAST(MAX(n_all) AS INT) AS n_lines,
+                   CAST(MAX(n_all) - COUNT(*) FILTER (rn = 1) AS INT)
+                       AS n_lines_removed,
+                   md5(CASE WHEN MAX(n_all) = COUNT(*) FILTER (rn = 1)
+                            THEN MAX(t)
+                            ELSE string_agg(line, chr(10) ORDER BY pos)
+                                 FILTER (rn = 1) END) AS cleaned_md5
+            FROM ranked JOIN built USING (doc_id)
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "exact_k_sample_documents": """
             SELECT doc_id, source

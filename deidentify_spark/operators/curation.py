@@ -453,6 +453,88 @@ def sample_exact_k(
     return df.orderBy(u.asc(), F.col(id_col)).limit(k)
 
 
+def domain_cap(
+    df: DataFrame,
+    max_per_group: int,
+    seed: int = 42,
+    group_col: str = "host",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-domain document cap (the FineWeb/CCNet "no host dominates the
+    corpus" pass): keep at most ``max_per_group`` docs per group (host /
+    registrable domain / source), chosen deterministically by
+    md5(seed:id) rank — the same replayable priority ``sample_exact_k``
+    uses, so retries and reruns keep the identical docs.
+
+    Returns the kept rows plus ``group_rank`` (1..max_per_group within
+    the group, by the md5 priority).
+
+    Scale shape: hosts are THE canonical skewed key in web corpora (one
+    mega-host can hold 10^8 of 10^12 docs), so a plain
+    ``Window.partitionBy(host)`` row_number — the obvious shape — puts
+    that host's every row into one sort task. Two-phase instead, same
+    as ``hard_negatives_topk``: phase 1 ranks inside (group, id-hash
+    bucket) and keeps ``max_per_group`` per bucket (tasks bounded at
+    ~n_group/B); phase 2 ranks the <= B*max_per_group survivors per
+    group. Both phases shuffle only slim rows; the cap is exact (the
+    true global top-N per group survives phase 1 by pigeonhole —
+    dropping rank > N within any subset can never drop a global
+    top-N row)."""
+    pri = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_buckets))
+    w1 = Window.partitionBy(group_col, "_b").orderBy(pri.asc(), F.col(id_col))
+    ph1 = (
+        df.withColumn("_b", bucket)
+        .withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") <= max_per_group)
+        .drop("_b", "_r")
+    )
+    w2 = Window.partitionBy(group_col).orderBy(pri.asc(), F.col(id_col))
+    return ph1.withColumn("group_rank", F.row_number().over(w2)).where(
+        F.col("group_rank") <= max_per_group
+    )
+
+
+def within_doc_line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document duplicated-line removal (the C4 page-local
+    boilerplate pass that complements corpus-level ``line_dedup``):
+    every line keeps its FIRST occurrence inside the doc and later
+    repeats are dropped — nav bars, repeated headers and pagination
+    chrome that recur inside a single rendered page.
+
+    Returns the input plus ``n_lines``, ``n_lines_removed`` and
+    ``cleaned_text`` (byte-identical passthrough when nothing
+    repeats).
+
+    Scale shape: the whole operator is ONE map-side codegen projection —
+    ``array_distinct`` preserves first-occurrence order and is
+    hash-set-based (O(lines) per doc), so there is NO shuffle, NO join
+    and NO window anywhere in the plan; it composes for free into any
+    scan-side stage chain. (Corpus-level ``line_dedup`` needs its
+    aggregate-then-join because its duplicate evidence is global; here
+    the evidence is doc-local by definition.)"""
+    arr = F.split(F.col(text_col), line_sep)
+    dedup = F.array_distinct(arr)
+    return (
+        df.withColumn("n_lines", F.size(arr).cast("int"))
+        .withColumn(
+            "n_lines_removed", (F.size(arr) - F.size(dedup)).cast("int")
+        )
+        .withColumn(
+            "cleaned_text",
+            F.when(F.col("n_lines_removed") == 0, F.col(text_col)).otherwise(
+                F.array_join(dedup, line_sep)
+            ),
+        )
+    )
+
+
 def line_dedup(
     df: DataFrame,
     min_dup: int = 2,

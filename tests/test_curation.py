@@ -439,3 +439,86 @@ def test_sample_exact_k_plan_is_take_ordered(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan
+
+
+# --------------------------------------------------- domain cap
+
+
+def test_domain_cap_exact_and_matches_single_window(spark):
+    """The two-phase bucketed cap must keep EXACTLY the same docs a
+    single global per-group ranking would (pigeonhole argument), capped
+    at N per group, deterministic across partitionings."""
+    from pyspark.sql import Window
+
+    from deidentify_spark.operators.curation import domain_cap
+
+    rows = [(i, f"src{i % 3}", f"doc {i}") for i in range(90)]
+    df = _docs(spark, rows)
+    out = domain_cap(df, max_per_group=7, group_col="source", n_buckets=4)
+    got = {(r.source, r.doc_id): r.group_rank for r in out.collect()}
+    # reference: plain single-window ranking
+    pri = F.md5(F.concat(F.lit("42:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri.asc(), F.col("doc_id"))
+    ref = {
+        (r.source, r.doc_id): r.rank
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == ref
+    per_group = {}
+    for (s, _), rk in got.items():
+        per_group.setdefault(s, []).append(rk)
+    for s, rks in per_group.items():
+        assert sorted(rks) == list(range(1, 8))
+    # partitioning-invariant
+    got2 = {
+        (r.source, r.doc_id): r.group_rank
+        for r in domain_cap(
+            df.repartition(11), max_per_group=7, group_col="source", n_buckets=4
+        ).collect()
+    }
+    assert got2 == got
+
+
+def test_domain_cap_phase1_window_is_bucketed(spark):
+    from deidentify_spark.operators.curation import domain_cap
+
+    rows = [(i, f"src{i % 3}", f"doc {i}") for i in range(20)]
+    plan = domain_cap(
+        _docs(spark, rows), max_per_group=3, group_col="source"
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "_b" in plan  # phase-1 partition key includes the id bucket
+    assert plan.count("row_number") >= 2
+
+
+# ------------------------------------------- within-doc line dedup
+
+
+def test_within_doc_line_dedup_keep_first(spark):
+    from deidentify_spark.operators.curation import within_doc_line_dedup
+
+    rows = [
+        (1, "s", "nav\nbody one\nnav\nbody two\nnav"),
+        (2, "s", "a\nb\nc"),  # untouched -> byte-identical passthrough
+        (3, "s", ""),
+    ]
+    out = {r.doc_id: r for r in within_doc_line_dedup(_docs(spark, rows)).collect()}
+    assert out[1].cleaned_text == "nav\nbody one\nbody two"
+    assert out[1].n_lines == 5 and out[1].n_lines_removed == 2
+    assert out[2].cleaned_text == "a\nb\nc" and out[2].n_lines_removed == 0
+    assert out[3].cleaned_text == "" and out[3].n_lines == 1
+
+
+def test_within_doc_line_dedup_is_shuffle_free(spark):
+    """The whole operator must stay one map-side projection: no
+    exchange, no join, no window in the executed plan."""
+    from deidentify_spark.operators.curation import within_doc_line_dedup
+
+    rows = [(1, "s", "x\ny\nx")]
+    plan = within_doc_line_dedup(
+        _docs(spark, rows)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
