@@ -85,6 +85,11 @@ BENCH_QUERIES = [
     "vocab_topk_documents",
     "tfidf_top_terms_documents",
     "zorder_events",
+    "fuzzy_decontaminate_documents",
+    "exact_k_sample_documents",
+    "hard_negatives_embeddings",
+    "domain_cap_documents",
+    "within_doc_line_dedup_documents",
     "scrub_documents",
 ]
 

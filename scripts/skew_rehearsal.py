@@ -12,6 +12,10 @@ at volume with the ADVERSARIAL key distribution its old shape died on:
   partitioned_prefix_sum (quantile buckets bound each sort task).
 * assign_shards with n_shards=4 at volume (the small-shard-count config
   whose old row_number form capped parallelism at 4).
+* domain_cap where ONE mega-host holds 50% of the corpus (the
+  "everyone links to the same CDN mirror" host skew). Naive shape:
+  Window.partitionBy(host) row_number sorts the mega-host's every row
+  in one task. Shipped shape: two-phase bucketed ranking.
 
 Each leg reports wall seconds, the max single-task duration of the
 heaviest stage (the skew symptom the rewrite exists to remove — read
@@ -194,6 +198,49 @@ def main() -> None:
         "docs_per_sec": round(n / wall),
         "n_shards": chk.shards,
         "max_pos": chk.max_pos,
+    }
+
+    # ---- leg 4: domain_cap with ONE mega-host holding 50% of the corpus
+    from deidentify_spark.operators.curation import domain_cap
+
+    hosts = docs.select("doc_id").withColumn(
+        "host",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(2)) == 0, F.lit("mega.example.com")
+        ).otherwise(
+            F.concat(
+                F.lit("host-"),
+                F.pmod(F.col("doc_id"), F.lit(1000)).cast("string"),
+            )
+        ),
+    )
+    t0 = time.time()
+    capped = domain_cap(hosts, max_per_group=1000, group_col="host")
+    kept = {
+        r.host: (r.c, r.mr)
+        for r in capped.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("c"), F.max("group_rank").alias("mr"))
+        .collect()
+    }
+    wall = round(time.time() - t0, 1)
+    mx_cap, stage_mark = _max_task_ms(app_id, ui_port, stage_mark)
+    # invariant: every host keeps exactly min(n_host, cap) docs with
+    # dense ranks — the mega-host is cut to the cap, small hosts pass
+    # through whole
+    truth = {
+        r.host: r.c
+        for r in hosts.groupBy("host").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    for h, c in truth.items():
+        want = min(c, 1000)
+        assert kept[h] == (want, want), (h, kept[h], want)
+    out["domain_cap_mega_host"] = {
+        "wall_s": wall,
+        "max_task_ms": mx_cap,
+        "docs_per_sec": round(n / wall),
+        "mega_host_docs": truth["mega.example.com"],
+        "mega_host_kept": kept["mega.example.com"][0],
+        "n_hosts": len(truth),
     }
 
     print(json.dumps(out))
