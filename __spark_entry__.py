@@ -606,6 +606,27 @@ def quality_auc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nb_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table (operators/scan.py score_calibration) of the NB
+    quality classifier's score vs the language label — the calibration
+    companion to quality_auc_documents (same train split): 10 fixed-width
+    score bins with exact integer pos counts. Order-independent outputs
+    only (counts + min/max), bit-stable across engines; the oracle twin
+    recomputes the ENTIRE train+score+bin chain in SQL."""
+    from deidentify_spark.operators.classifier import nb_score, nb_train
+    from deidentify_spark.operators.scan import score_calibration
+
+    docs = _t(spark, sf_dir, "documents")
+    docs_l = docs.withColumn("is_en", F.col("lang") == "en")
+    w, b = nb_train(docs_l.where("doc_id < 250"), "is_en")
+    scored = nb_score(docs_l, w, b).withColumn(
+        "nb_score_r", F.round("nb_score", 4)
+    )
+    return score_calibration(scored, "is_en", "nb_score_r", n_bins=10).orderBy(
+        "bin"
+    )
+
+
 def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/sharding.py):
     hash-seeded corpus shuffle into 8 shards + within-shard position —
@@ -1842,7 +1863,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_documents": domain_cap_documents,
         "within_doc_line_dedup_documents": within_doc_line_dedup_documents,
         # ---- r5 head minus the five displaced unchanged queries
-        "embedding_near_dups": embedding_near_dups,
         "dedup_cap_lineage": dedup_cap_lineage,
         "asof_forward_events": asof_forward_events,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
@@ -1883,10 +1903,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_documents": bm25_search_documents,
         "shard_assignment_documents": shard_assignment_documents,
         "quality_auc_documents": quality_auc_documents,
+        "nb_calibration_documents": nb_calibration_documents,
         # ---- tail (past the driver's 50-query window this round): all
         # were green in an official CORRECTNESS_r{4,5}.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
         "approx_distinct_documents": approx_distinct_documents,
+        "embedding_near_dups": embedding_near_dups,
         "orc_roundtrip_documents": orc_roundtrip_documents,
         "pii_mapping_audit_documents": pii_mapping_audit_documents,
         "text_stats_documents": text_stats_documents,
@@ -2356,6 +2378,20 @@ def oracle_sql() -> dict[str, str]:
             + ") s USING (doc_id)",
             label_expr="lang = 'en'",
             score_expr="nb_score",
+        ),
+        "nb_calibration_documents": __import__(
+            "deidentify_spark.operators.scan",
+            fromlist=["calibration_oracle_sql"],
+        ).calibration_oracle_sql(
+            "SELECT d.lang, s.nb_score FROM documents d JOIN ("
+            + __import__(
+                "deidentify_spark.operators.classifier",
+                fromlist=["nb_oracle_sql"],
+            ).nb_oracle_sql("documents", "doc_id < 250", "lang = 'en'")
+            + ") s USING (doc_id)",
+            label_expr="lang = 'en'",
+            score_expr="ROUND(nb_score, 4)",
+            n_bins=10,
         ),
         "bloom_membership_documents": __import__(
             "deidentify_spark.operators.membership", fromlist=["bloom_oracle_sql"]

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "hard_negatives_embeddings",
     "domain_cap_documents",
     "within_doc_line_dedup_documents",
+    "nb_calibration_documents",
     "scrub_documents",
 ]
 

@@ -277,3 +277,87 @@ def auc_oracle_sql(
                END AS auc
         FROM c
     """
+
+
+def score_calibration(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table for a classifier score — the calibration
+    companion to ``rank_auc`` (AUC says the RANKING is good; this says
+    whether the score VALUES mean what a gate threshold assumes): the
+    score range [min, max] splits into ``n_bins`` fixed-width bins and
+    each returns (bin, n_docs, n_pos, pos_rate, lo_score, hi_score).
+    A monotone pos_rate staircase = well-ordered scores; flat spots show
+    where a keep/drop threshold would be arbitrary.
+
+    Every output is ORDER-INDEPENDENT on purpose — counts, integer
+    sums, and min/max — so the result is bit-stable across partitionings
+    and engines (a mean of doubles would depend on distributed summation
+    order; pos_rate comes from exact integers instead).
+
+    Scale shape: one scalar min/max aggregate broadcast back (the same
+    broadcast-scalar idiom as mixture_weights), then ONE map-side bin
+    expression + groupBy(bin) — O(n_bins) output rows, partial-agg
+    combined, no window, no skew surface (bins are value-ranges, not
+    keys an adversary can concentrate... a constant-score corpus lands
+    in bin 0 by the degenerate-range guard and is still one combined
+    aggregate row)."""
+    ext = df.agg(
+        F.min(score_col).alias("_lo"), F.max(score_col).alias("_hi")
+    )
+    b = df.crossJoin(F.broadcast(ext))
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bin_ = F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col(score_col) - F.col("_lo")) / width).cast("int"),
+            F.lit(n_bins - 1),
+        )
+    )
+    pos = F.when(F.col(label_col), 1).otherwise(0)
+    return (
+        b.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(pos).alias("n_pos"),
+            F.round(
+                F.sum(pos).cast("double") / F.count(F.lit(1)), 6
+            ).alias("pos_rate"),
+            F.round(F.min(score_col), 4).alias("lo_score"),
+            F.round(F.max(score_col), 4).alias("hi_score"),
+        )
+    )
+
+
+def calibration_oracle_sql(
+    scored_sql: str,
+    label_expr: str,
+    score_expr: str,
+    n_bins: int = 10,
+) -> str:
+    """DuckDB twin of ``score_calibration`` over ``scored_sql`` (a full
+    SELECT producing the label/score columns) — identical fixed-width
+    bin arithmetic on the same rounded inputs, integer-exact counts."""
+    return f"""
+        WITH scored AS (
+            SELECT ({label_expr}) AS _y, ({score_expr}) AS _s
+            FROM ({scored_sql})
+        ), ext AS (
+            SELECT MIN(_s) AS lo, MAX(_s) AS hi FROM scored
+        )
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE LEAST(CAST(FLOOR((_s - lo) /
+                                    ((hi - lo) / {n_bins})) AS INT),
+                               {n_bins - 1}) END AS bin,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN _y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               ROUND(SUM(CASE WHEN _y THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 6) AS pos_rate,
+               ROUND(MIN(_s), 4) AS lo_score,
+               ROUND(MAX(_s), 4) AS hi_score
+        FROM scored, ext
+        GROUP BY 1
+        ORDER BY bin
+    """

@@ -91,3 +91,51 @@ def test_rank_auc_perfect_and_inverted(spark):
     assert rank_auc(df, "y", "s").first().auc == pytest.approx(1.0)
     inv = df.withColumn("s", -F.col("s"))
     assert rank_auc(inv, "y", "s").first().auc == pytest.approx(0.0)
+
+
+def test_score_calibration_matches_python_reference(spark):
+    from deidentify_spark.operators.scan import score_calibration
+
+    rng = random.Random(3)
+    rows = [
+        (rng.random() < (i / 100.0), round(i / 100.0 + rng.gauss(0, 0.05), 4))
+        for i in range(101)
+    ]
+    df = spark.createDataFrame(rows, "y boolean, s double")
+    got = {r.bin: r for r in score_calibration(df, "y", "s", n_bins=5).collect()}
+    lo = min(s for _, s in rows)
+    hi = max(s for _, s in rows)
+    ref: dict[int, list] = {}
+    for y, s in rows:
+        b = min(int((s - lo) / ((hi - lo) / 5)), 4)
+        ref.setdefault(b, []).append((y, s))
+    assert set(got) == set(ref)
+    for b, members in ref.items():
+        r = got[b]
+        assert r.n_docs == len(members)
+        assert r.n_pos == sum(1 for y, _ in members if y)
+        assert r.pos_rate == pytest.approx(r.n_pos / r.n_docs, abs=1e-6)
+        assert r.lo_score == pytest.approx(min(s for _, s in members), abs=1e-4)
+        assert r.hi_score == pytest.approx(max(s for _, s in members), abs=1e-4)
+    # bit-stable across partitionings (order-independent aggregates only)
+    again = {
+        r.bin: (r.n_docs, r.n_pos, r.pos_rate, r.lo_score, r.hi_score)
+        for r in score_calibration(
+            df.repartition(7), "y", "s", n_bins=5
+        ).collect()
+    }
+    assert again == {
+        b: (r.n_docs, r.n_pos, r.pos_rate, r.lo_score, r.hi_score)
+        for b, r in got.items()
+    }
+
+
+def test_score_calibration_constant_score_degenerate(spark):
+    from deidentify_spark.operators.scan import score_calibration
+
+    df = spark.createDataFrame(
+        [(True, 0.5), (False, 0.5), (True, 0.5)], "y boolean, s double"
+    )
+    out = score_calibration(df, "y", "s", n_bins=10).collect()
+    assert len(out) == 1 and out[0].bin == 0
+    assert out[0].n_docs == 3 and out[0].n_pos == 2
