@@ -6,7 +6,9 @@ operators end-to-end on the quality-filter output:
     (md5 canonical)  ->  fuzzy dedup (MinHash-LSH candidates ->
     connected components -> canonical keep; NOTE the synthetic
     generator corpus is template-heavy BY DESIGN, so this stage drops
-    aggressively there)  ->  DSIR selection (importance-resample the
+    aggressively there)  ->  [opt-in --max-per-host: FineWeb-style
+    per-host cap, deterministic md5 priority]  ->  DSIR selection
+    (importance-resample the
     deduped pool toward its lowest-perplexity quartile, Gumbel-top-k
     draw)  ->  deterministic shard assignment  ->  parquet partitioned
     by shard, plus a per-stage lineage JSON.
@@ -44,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--select-frac", type=float, default=0.5)
     p.add_argument("--n-shards", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    # Opt-in FineWeb-style per-host cap between dedup and DSIR (0 = off,
+    # the default — keeps recorded drill numbers comparable): no single
+    # host contributes more than N docs to the selection pool, decided
+    # by the deterministic md5 priority (operators/curation.domain_cap,
+    # two-phase bucketed ranking — a mega-host never sorts in one task).
+    p.add_argument("--max-per-host", type=int, default=0)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
@@ -123,6 +131,19 @@ def main(argv: list[str] | None = None) -> int:
     docs.write.mode("overwrite").parquet(f"{args.output}/deduped")
     docs = spark.read.parquet(f"{args.output}/deduped")
     n_fuzzy = tick("fuzzy_dedup", docs, t0)
+
+    if args.max_per_host:
+        from deidentify_spark.functions.urls import url_host
+        from deidentify_spark.operators.curation import domain_cap
+
+        t0 = time.time()
+        docs = domain_cap(
+            docs.withColumn("host", url_host(F.col("url"))),
+            max_per_group=args.max_per_host,
+            seed=args.seed,
+            group_col="host",
+        ).drop("host", "group_rank")
+        n_fuzzy = tick("domain_cap", docs, t0)
 
     # Stage 4: DSIR — resample the deduped pool toward its own
     # best-quality slice: target = lowest-perplexity quartile (one
