@@ -798,6 +798,33 @@ def within_doc_line_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFra
     ).orderBy("doc_id")
 
 
+def token_ids_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocab-indexed numericalization (operators/vocab.py
+    encode_token_ids): top-20 corpus vocabulary as ids 0..19, OOV terms
+    hashed into 64 deterministic md5 buckets above the vocab range.
+    Vocab collects O(V) on the driver and ships into ONE map-side Arrow
+    projection — no token explode/join/re-sort (the oracle twin IS that
+    rejected shuffle-heavy formulation, which makes it a good oracle
+    and a bad plan). Output: per-doc token/oov counts + id-sequence
+    md5."""
+    from deidentify_spark.operators.vocab import encode_token_ids, vocab_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = vocab_topk(docs, k=20).select(
+        "term", (F.col("rank") - 1).cast("bigint").alias("token_id")
+    )
+    out = encode_token_ids(docs, vocab, n_oov_buckets=64)
+    ids_str = F.array_join(
+        F.transform("token_ids", lambda x: x.cast("string")), ","
+    )
+    return out.select(
+        "doc_id",
+        F.size("token_ids").alias("n_tokens"),
+        F.size(F.filter("token_ids", lambda x: x >= F.lit(20))).alias("n_oov"),
+        F.md5(ids_str).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk packing summary: docs laid end-to-end
     per source, cut every 512 whitespace tokens; one row per
@@ -1863,7 +1890,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap_documents": domain_cap_documents,
         "within_doc_line_dedup_documents": within_doc_line_dedup_documents,
         # ---- r5 head minus the five displaced unchanged queries
-        "dedup_cap_lineage": dedup_cap_lineage,
         "asof_forward_events": asof_forward_events,
         "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
@@ -1904,11 +1930,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment_documents": shard_assignment_documents,
         "quality_auc_documents": quality_auc_documents,
         "nb_calibration_documents": nb_calibration_documents,
+        "token_ids_documents": token_ids_documents,
         # ---- tail (past the driver's 50-query window this round): all
         # were green in an official CORRECTNESS_r{4,5}.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
         "approx_distinct_documents": approx_distinct_documents,
         "embedding_near_dups": embedding_near_dups,
+        "dedup_cap_lineage": dedup_cap_lineage,
         "orc_roundtrip_documents": orc_roundtrip_documents,
         "pii_mapping_audit_documents": pii_mapping_audit_documents,
         "text_stats_documents": text_stats_documents,
@@ -3020,6 +3048,50 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5('42:'||doc_id::VARCHAR), doc_id
             LIMIT 40
+        """,
+        # the twin is the rejected shuffle-heavy formulation: explode
+        # every token, join the vocab, re-sort per doc — correct, and
+        # exactly what the map-side dict UDF avoids
+        "token_ids_documents": """
+            WITH counts AS (
+                SELECT term, COUNT(*) AS n FROM (
+                    SELECT unnest(list_filter(string_split(text, ' '),
+                                              t -> t != '')) AS term
+                    FROM documents
+                ) GROUP BY term
+            ), vocab AS (
+                SELECT term,
+                       CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) - 1
+                            AS BIGINT) AS token_id
+                FROM counts ORDER BY n DESC, term LIMIT 20
+            ), arrs AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t != '') AS a
+                FROM documents
+            ), toks AS (
+                SELECT doc_id, i AS pos, a[i] AS term
+                FROM arrs, unnest(generate_series(1, len(a))) AS g(i)
+            ), ids AS (
+                SELECT t.doc_id, t.pos,
+                       COALESCE(v.token_id,
+                                20 + ('0x'||substr(md5(t.term),1,8))::BIGINT
+                                     % 64) AS tid
+                FROM toks t LEFT JOIN vocab v USING (term)
+            ), agg AS (
+                SELECT doc_id,
+                       CAST(COUNT(*) AS INT) AS n_tokens,
+                       CAST(SUM(CASE WHEN tid >= 20 THEN 1 ELSE 0 END)
+                            AS INT) AS n_oov,
+                       md5(string_agg(tid::VARCHAR, ',' ORDER BY pos))
+                           AS ids_md5
+                FROM ids GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.n_tokens, 0) AS n_tokens,
+                   COALESCE(a.n_oov, 0) AS n_oov,
+                   COALESCE(a.ids_md5, md5('')) AS ids_md5
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "hard_negatives_embeddings": """
             WITH anchors AS (

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "domain_cap_documents",
     "within_doc_line_dedup_documents",
     "nb_calibration_documents",
+    "token_ids_documents",
     "scrub_documents",
 ]
 

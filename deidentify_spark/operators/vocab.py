@@ -27,6 +27,7 @@ Scale posture:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -151,3 +152,59 @@ TFIDF_TOP_TERMS_SQL = """
     FROM ranked WHERE rank <= {top_n}
     ORDER BY doc_id, rank
 """
+
+
+def encode_token_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    *,
+    n_oov_buckets: int = 1024,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocab-indexed numericalization — the terminal encoding step that
+    turns curated text into the integer sequences a training loop
+    consumes: every term maps to its ``vocab`` id, out-of-vocabulary
+    terms to a deterministic md5 hash bucket ABOVE the vocab range
+    (``base + u32(md5(term)[:8]) % n_oov_buckets`` with
+    base = max(token_id)+1 — the fastText-style OOV bucket scheme, so
+    unseen terms still carry a stable signal instead of one UNK id).
+    Tokenization is this module's convention (split on ' ', drop
+    empties). Adds ``token_ids: array<int>``.
+
+    Scale shape: a tokenizer vocabulary is bounded (10^4-10^5 — BPE
+    vocabularies are 32-128k by construction), so ``vocab`` is collected
+    ONCE on the driver (same O(V) posture as the IVF centroid collect)
+    and ships into a vectorized Arrow UDF as a plain dict — the document
+    side is ONE map-side Arrow projection: no token explode, no
+    per-token join, no positional re-sort. The explode → join(vocab) →
+    string_agg-by-position alternative (the DuckDB twin's formulation)
+    shuffles every token in the corpus and re-sorts each doc — correct,
+    and exactly what this operator exists to avoid.
+    """
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    rows = vocab.select("term", "token_id").collect()
+    mapping = {r.term: int(r.token_id) for r in rows}
+    base = (max(mapping.values()) + 1) if mapping else 0
+    nb = int(n_oov_buckets)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            return [
+                mapping.get(w)
+                if w in mapping
+                else base
+                + int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % nb
+                for w in t.split(" ")
+                if w
+            ]
+
+        return texts.map(one)
+
+    return docs.withColumn("token_ids", encode(F.col(text_col)))

@@ -89,3 +89,39 @@ def test_vocab_plan_rank_window_is_post_limit(spark, docs):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_encode_token_ids_vocab_and_oov(spark):
+    import hashlib
+
+    from deidentify_spark.operators.vocab import encode_token_ids
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, ""), (3, None)],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the", 0), ("cat", 1), ("on", 2)], "term string, token_id long"
+    )
+    out = {r.doc_id: r.token_ids for r in
+           encode_token_ids(docs, vocab, n_oov_buckets=16).collect()}
+
+    def oov(w):
+        return 3 + int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 16
+
+    assert out[1] == [0, 1, oov("sat"), 2, 0, oov("mat")]
+    assert out[2] == []       # empty text -> empty sequence
+    assert out[3] is None     # null propagates
+    # OOV ids sit strictly above the vocab range
+    assert all(i >= 3 for i in (out[1][2], out[1][5]))
+
+
+def test_encode_token_ids_is_map_side(spark):
+    from deidentify_spark.operators.vocab import encode_token_ids
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("a", 0)], "term string, token_id long")
+    plan = encode_token_ids(
+        docs, vocab
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
