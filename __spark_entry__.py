@@ -627,6 +627,21 @@ def nb_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def exact_percentiles_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-source doc-length percentiles (operators/scan.py
+    exact_percentiles): smallest n_chars whose per-source cumulative
+    count reaches ceil(q*N) — exact order statistics via the bucketed
+    per-group prefix scan, no global sort, no one-task-per-source
+    window, no approxQuantile in the ANSWER (only in the bucket
+    boundaries, which provably don't affect values)."""
+    from deidentify_spark.operators.scan import exact_percentiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_percentiles(
+        docs, "n_chars", qs=(0.25, 0.5, 0.75, 0.95), group_cols=["source"]
+    ).orderBy("source")
+
+
 def shard_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-shard assignment (operators/sharding.py):
     hash-seeded corpus shuffle into 8 shards + within-shard position —
@@ -1891,7 +1906,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "within_doc_line_dedup_documents": within_doc_line_dedup_documents,
         # ---- r5 head minus the five displaced unchanged queries
         "asof_forward_events": asof_forward_events,
-        "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "embedding_near_dups_lsh": embedding_near_dups_lsh,
         "minhash_incremental_documents": minhash_incremental_documents,
         "stratified_sample_documents": stratified_sample_documents,
@@ -1931,11 +1945,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_auc_documents": quality_auc_documents,
         "nb_calibration_documents": nb_calibration_documents,
         "token_ids_documents": token_ids_documents,
+        "exact_percentiles_documents": exact_percentiles_documents,
         # ---- tail (past the driver's 50-query window this round): all
         # were green in an official CORRECTNESS_r{4,5}.json and remain
         # value-checked by scripts/check_all_oracles.py every round.
         "approx_distinct_documents": approx_distinct_documents,
         "embedding_near_dups": embedding_near_dups,
+        "ann_cosine_lsh_top10": ann_cosine_lsh_top10,
         "dedup_cap_lineage": dedup_cap_lineage,
         "orc_roundtrip_documents": orc_roundtrip_documents,
         "pii_mapping_audit_documents": pii_mapping_audit_documents,
@@ -2407,6 +2423,29 @@ def oracle_sql() -> dict[str, str]:
             label_expr="lang = 'en'",
             score_expr="nb_score",
         ),
+        # exact discrete quantile: smallest value whose per-group
+        # cumulative count reaches ceil(q*N) — the same definition the
+        # Spark operator computes (integer-exact on both engines)
+        "exact_percentiles_documents": """
+            WITH counts AS (
+                SELECT source, n_chars AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ), cum AS (
+                SELECT source, v,
+                       SUM(c) OVER (PARTITION BY source ORDER BY v) AS cc
+                FROM counts
+            ), tot AS (
+                SELECT source, SUM(c) AS n FROM counts GROUP BY 1
+            )
+            SELECT source,
+                   MIN(CASE WHEN cc >= CEIL(0.25 * n) THEN v END) AS p25,
+                   MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN v END) AS p50,
+                   MIN(CASE WHEN cc >= CEIL(0.75 * n) THEN v END) AS p75,
+                   MIN(CASE WHEN cc >= CEIL(0.95 * n) THEN v END) AS p95
+            FROM cum JOIN tot USING (source)
+            GROUP BY source
+            ORDER BY source
+        """,
         "nb_calibration_documents": __import__(
             "deidentify_spark.operators.scan",
             fromlist=["calibration_oracle_sql"],

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "within_doc_line_dedup_documents",
     "nb_calibration_documents",
     "token_ids_documents",
+    "exact_percentiles_documents",
     "scrub_documents",
 ]
 

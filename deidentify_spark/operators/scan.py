@@ -49,6 +49,9 @@ __all__ = [
     "partitioned_prefix_sum",
     "rank_auc",
     "auc_oracle_sql",
+    "score_calibration",
+    "calibration_oracle_sql",
+    "exact_percentiles",
 ]
 
 
@@ -361,3 +364,49 @@ def calibration_oracle_sql(
         GROUP BY 1
         ORDER BY bin
     """
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT discrete percentiles — per group, the smallest value whose
+    cumulative count reaches ceil(q*N) — without a global sort and
+    without one-task-per-group windows: exact order statistics over
+    10^12 rows are normally the textbook case for "use approxQuantile
+    instead", but corpus SLAs ("median doc length", "p95 tokens per
+    page" in a datasheet) want the exact number.
+
+    Composition of this module's own primitives:
+    1. ``groupBy(group, value).count()`` — the only pass over the data;
+       hot values are absorbed by map-side partial aggregation;
+    2. ``partitioned_prefix_sum`` over the (group, value, count) table
+       in value order — the two-level bucketed scan, so a dominant
+       group never sorts in one task and no driver collect scales with
+       the group count;
+    3. one final groupBy(group) with a min-when per requested quantile.
+    Every output is an exact integer/order statistic (no float sums),
+    so results are bit-stable across partitionings and engines.
+    """
+    groups = list(group_cols or [])
+    tmp_group = not groups
+    if tmp_group:
+        df = df.withColumn("_g", F.lit(0))
+        groups = ["_g"]
+    counts = df.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    cum = partitioned_prefix_sum(counts, groups, value_col, ["_c"])
+    tot = counts.groupBy(*groups).agg(F.sum("_c").alias("_n"))
+    j = cum.join(tot, groups)
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum__c") >= F.ceil(F.lit(float(q)) * F.col("_n")),
+                F.col(value_col),
+            )
+        ).alias(f"p{int(round(q * 100))}")
+        for q in qs
+    ]
+    out = j.groupBy(*groups).agg(*aggs)
+    return out.drop("_g") if tmp_group else out

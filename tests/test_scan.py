@@ -139,3 +139,34 @@ def test_score_calibration_constant_score_degenerate(spark):
     out = score_calibration(df, "y", "s", n_bins=10).collect()
     assert len(out) == 1 and out[0].bin == 0
     assert out[0].n_docs == 3 and out[0].n_pos == 2
+
+
+def test_exact_percentiles_matches_sorted_reference(spark):
+    from deidentify_spark.operators.scan import exact_percentiles
+
+    rng = random.Random(11)
+    rows = [(f"s{i % 3}", rng.randint(0, 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "source string, v long")
+    got = {r.source: r for r in
+           exact_percentiles(df, "v", qs=(0.25, 0.5, 0.95),
+                             group_cols=["source"]).collect()}
+
+    import math
+
+    for s in ("s0", "s1", "s2"):
+        vals = sorted(v for src, v in rows if src == s)
+        n = len(vals)
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.95, "p95")):
+            # definition: smallest value whose cumulative count reaches
+            # ceil(q*N) == the ceil(q*N)-th order statistic
+            ref = vals[math.ceil(q * n) - 1]
+            assert got[s][name] == ref, (s, name, got[s][name], ref)
+
+
+def test_exact_percentiles_ungrouped_and_extremes(spark):
+    from deidentify_spark.operators.scan import exact_percentiles
+
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "v long")
+    r = exact_percentiles(df, "v", qs=(0.01, 0.5, 1.0)).collect()
+    assert len(r) == 1
+    assert r[0].p1 == 1 and r[0].p50 == 50 and r[0].p100 == 100
