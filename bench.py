@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "nb_calibration_documents",
     "token_ids_documents",
     "exact_percentiles_documents",
+    "chunk_text_documents",
     "scrub_documents",
 ]
 

@@ -347,6 +347,66 @@ def pack_sequences(
     )
 
 
+def chunk_text(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window WITHIN-doc chunking — the RAG / long-context prep
+    step that splits each document into overlapping fixed-size token
+    windows (start positions 0, stride, 2·stride, … < n_words; overlap
+    = window − stride): embedding-index construction and
+    long-document training both consume these instead of whole pages.
+    The complement to ``pack_sequences``, which concatenates ACROSS
+    docs; this splits WITHIN one and never mixes documents.
+
+    Returns (id, chunk_idx, chunk_text, n_tokens) — one row per chunk,
+    empty/whitespace-only docs yield none. Tokenization is the simple
+    split-on-space / drop-empties convention (operators/vocab.py).
+
+    Scale shape: a pure map-side projection + posexplode — the start
+    list, slices and joins are all array expressions over the one
+    in-row word array, so there is NO shuffle, NO join and NO window in
+    the plan; output rows are (window)-token strings that flow straight
+    into the scan-side stage chain (then the embedding/encode UDFs).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    # Generate-node barrier binds the word array as an attribute so the
+    # per-chunk slices inside the transform lambda are O(window) array
+    # reads, not re-splits (no CSE inside HOF lambdas — the hazard
+    # _materialized_words documents; this is the shuffle-free
+    # explode(array(struct)) form line_dedup uses)
+    bar = df.select(
+        F.col(id_col),
+        F.explode(F.array(F.struct(words.alias("_w")))).alias("_s"),
+    ).select(id_col, F.col("_s._w").alias("_w"))
+    n = F.size("_w")
+    starts = F.when(
+        n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(F.col("_w"), s + 1, window), " ").alias("t"),
+            F.least(F.lit(window), n - s).cast("int").alias("k"),
+        ),
+    )
+    return bar.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.col("_c.t").alias("chunk_text"),
+        F.col("_c.k").alias("n_tokens"),
+    )
+
+
 def decontaminate_flags(
     df: DataFrame,
     eval_df: DataFrame,

@@ -522,3 +522,42 @@ def test_within_doc_line_dedup_is_shuffle_free(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+# -------------------------------------------------- within-doc chunking
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from deidentify_spark.operators.curation import chunk_text
+
+    words = [f"w{i}" for i in range(10)]
+    rows = [(1, "s", " ".join(words)), (2, "s", ""), (3, "s", "solo")]
+    out = {}
+    for r in chunk_text(_docs(spark, rows), window=4, stride=3).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,3,6,9 -> 4 chunks, last is the 1-word tail
+    got = sorted(out[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_text for r in got] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9", "w9",
+    ]
+    assert [r.n_tokens for r in got] == [4, 4, 4, 1]
+    assert 2 not in out                      # empty doc -> no chunks
+    assert [r.chunk_text for r in out[3]] == ["solo"]
+    # reconstruction invariant: stride-prefix of each non-final chunk
+    # concatenated + final chunk == original words
+    rebuilt = []
+    for r in got[:-1]:
+        rebuilt.extend(r.chunk_text.split(" ")[:3])
+    rebuilt.extend(got[-1].chunk_text.split(" "))
+    assert rebuilt == words
+
+
+def test_chunk_text_is_shuffle_free(spark):
+    from deidentify_spark.operators.curation import chunk_text
+
+    rows = [(1, "s", "a b c d e")]
+    plan = chunk_text(
+        _docs(spark, rows), window=2, stride=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
