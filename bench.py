@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "token_ids_documents",
     "exact_percentiles_documents",
     "chunk_text_documents",
+    "lm_perplexity_documents",
     "scrub_documents",
 ]
 

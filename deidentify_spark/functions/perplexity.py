@@ -75,3 +75,89 @@ def perplexity(text: str) -> float:
     logp = np.log((c_bi + _ALPHA) / (c_uni + _ALPHA * _VOCAB))
     return float(np.exp(-logp.mean()))
 
+
+
+def perplexity_with_tables(
+    text: str, uni: np.ndarray, bi: np.ndarray
+) -> float:
+    """``perplexity`` against CALLER-supplied count tables (the
+    in-engine-trained LM path; the module-level function scores against
+    the built-in authored-corpus tables)."""
+    h = _word_hashes(text)
+    if h.size < 2:
+        return float("inf")
+    hb = ((h[:-1] * np.uint64(1000003)) ^ h[1:]) & _MASK
+    c_bi = bi[hb.astype(np.int64)]
+    c_uni = uni[(h[:-1] & _MASK).astype(np.int64)]
+    logp = np.log((c_bi + _ALPHA) / (c_uni + _ALPHA * _VOCAB))
+    return float(np.exp(-logp.mean()))
+
+
+def lm_train_tables(df, text_col: str = "text"):
+    """TRAIN the hashed bigram LM in-engine over an arbitrary corpus
+    DataFrame — the CCNet posture (fit the quality LM on a curated seed
+    corpus, score the crawl with it) next to the built-in
+    authored-corpus tables. Returns the same (uni, bi) float64 count
+    arrays ``perplexity`` uses; training on a single doc holding the
+    authored corpus string reproduces ``_get_tables()`` BIT-FOR-BIT
+    (integer counts, pinned by test) — the tokenizer (lower +
+    ``[a-z']+``), crc32 word hash, and bigram mix hash are evaluated
+    JVM-side with identical semantics (Spark's crc32 is the same
+    CRC-32; h*1000003 < 2^52 so the arithmetic never overflows and
+    signed/unsigned agree exactly).
+
+    Scale shape: per-doc hash arrays are materialized behind ONE
+    Generate barrier (the no-CSE-in-HOF hazard — an inlined hash array
+    would re-run the regex extraction per bigram), then a single
+    exploded (kind, slot) stream feeds a map-side-combined
+    groupBy(kind, slot).count() — hot slots ("the") are absorbed by
+    partial aggregation, and the driver collect is bounded by the
+    table size (<= 2 x 2^18 nonzero slots), independent of corpus
+    size. Per-doc bigrams only — no cross-document bigram is counted
+    (train on one concatenated doc to reproduce the corpus-string
+    semantics of the built-in tables).
+    """
+    from pyspark.sql import functions as F
+
+    h = F.transform(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z']+"), F.lit(0)
+        ),
+        lambda w: F.crc32(F.encode(w, "UTF-8")),
+    )
+    bar = df.select(
+        F.explode(F.array(F.struct(h.alias("_h")))).alias("_s")
+    ).select(F.col("_s._h").alias("_h"))
+    n = F.size("_h")
+    uni_slots = F.transform(
+        F.col("_h"), lambda x: x.bitwiseAND(F.lit(int(_MASK)))
+    )
+    bi_slots = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: (F.element_at(F.col("_h"), i + 1) * F.lit(1000003))
+            .bitwiseXOR(F.element_at(F.col("_h"), i + 2))
+            .bitwiseAND(F.lit(int(_MASK))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    tagged = F.concat(
+        F.transform(
+            uni_slots, lambda s: F.struct(F.lit(0).alias("k"), s.alias("slot"))
+        ),
+        F.transform(
+            bi_slots, lambda s: F.struct(F.lit(1).alias("k"), s.alias("slot"))
+        ),
+    )
+    counts = (
+        bar.select(F.explode(tagged).alias("e"))
+        .select(F.col("e.k").alias("k"), F.col("e.slot").alias("slot"))
+        .groupBy("k", "slot")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    uni = np.zeros(_DIM, dtype=np.float64)
+    bi = np.zeros(_DIM, dtype=np.float64)
+    for r in counts:
+        (uni if r.k == 0 else bi)[r.slot] = float(r.c)
+    return uni, bi

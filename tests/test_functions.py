@@ -264,3 +264,49 @@ def test_langid_batched_softmax_bit_identical():
     want = scalar_ref(texts)
     assert got[0] == want[0]
     assert got[1] == want[1]  # exact float equality, not approx
+
+
+def test_lm_train_tables_reproduces_builtin_bit_for_bit(spark):
+    """Distributed LM training over a one-doc DataFrame holding the
+    authored corpus string must reproduce the in-process count tables
+    EXACTLY (integer counts, identical tokenizer/crc32/mix hash on the
+    JVM side)."""
+    import numpy as np
+
+    from deidentify_spark.functions.perplexity import (
+        _get_tables,
+        lm_train_tables,
+        perplexity,
+        perplexity_with_tables,
+    )
+    from deidentify_spark.sources.textpools import (
+        GEN_SENTENCES,
+        LANGID_TRAINING,
+        PERPLEXITY_TRAINING,
+    )
+
+    corpus = " ".join(
+        [LANGID_TRAINING["en"], PERPLEXITY_TRAINING, *GEN_SENTENCES["en"]]
+    )
+    df = spark.createDataFrame([(corpus,)], "text string")
+    uni, bi = lm_train_tables(df)
+    uni0, bi0 = _get_tables()
+    assert np.array_equal(uni, uni0)
+    assert np.array_equal(bi, bi0)
+    # and the scorer against the trained tables == the builtin scorer
+    s = "the quick brown fox jumps over the lazy dog"
+    assert perplexity_with_tables(s, uni, bi) == perplexity(s)
+
+
+def test_lm_train_tables_multi_doc_no_cross_doc_bigrams(spark):
+    import numpy as np
+
+    from deidentify_spark.functions.perplexity import lm_train_tables
+
+    one = spark.createDataFrame([("alpha beta",), ("gamma delta",)], "text string")
+    # same words as one concatenated doc EXCEPT the beta->gamma bigram
+    joined = spark.createDataFrame([("alpha beta gamma delta",)], "text string")
+    u1, b1 = lm_train_tables(one)
+    u2, b2 = lm_train_tables(joined)
+    assert np.array_equal(u1, u2)          # unigrams agree
+    assert b1.sum() == 2 and b2.sum() == 3  # no cross-doc bigram counted
