@@ -1937,11 +1937,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_multi_search_documents": bm25_multi_search_documents,
         "line_dedup_documents": line_dedup_documents,
         "pack_sequences_documents": pack_sequences_documents,
-        # ---- round-6 additions (never certified; displace eight
-        # UNCHANGED r5-certified queries — approx_distinct,
+        # ---- round-6 additions (never certified; displace thirteen
+        # UNCHANGED r4/r5-certified queries — approx_distinct,
         # sliding_window, percentile, text_stats, json_events,
-        # events_tumbling, orc_roundtrip, pii_mapping_audit — to
-        # the tail)
+        # events_tumbling, orc_roundtrip, pii_mapping_audit,
+        # embedding_near_dups, ann_cosine_lsh, dedup_cap_lineage,
+        # minhash_incremental, embedding_near_dups_lsh — to the tail,
+        # one per round-6 query added)
         "pagerank_trade_network": pagerank_trade_network,
         "vocab_topk_documents": vocab_topk_documents,
         "tfidf_top_terms_documents": tfidf_top_terms_documents,
