@@ -396,3 +396,40 @@ def test_bm25_multi_plan_single_tf_and_partial_topk(spark):
     from deidentify_spark.runtime import release_tracked
 
     release_tracked()
+
+
+def test_no_cartesian_product_in_any_registered_query(spark):
+    """Registry-wide anti-pattern lint: NO registered query may compile
+    to a CartesianProduct — the node Spark emits when a join has no
+    keys and neither side broadcasts (the O(n^2) shuffle that kills a
+    corpus-scale run). The deliberate broadcast-scalar cross joins
+    (dsir/search/classifier/mixture) and the hard-negatives anchor
+    panel compile to BroadcastNestedLoopJoin instead, which is exempt
+    BY CONSTRUCTION here: BNLJ streams the big side once against a
+    broadcast side, and every broadcast side in this registry is
+    O(1)-to-O(batch) rows. Uses sf0.001 so the whole sweep is
+    plan-construction-bound (a few queries run driver-side actions —
+    vocab/centroid/LM-table collects — while BUILDING the DataFrame;
+    that is their documented posture, not execution of the plan)."""
+    skip = {
+        # streaming/multimodal/roundtrip queries write temp outputs or
+        # need the binary fixtures; their plans are pinned in their own
+        # dedicated tests
+        "warc_roundtrip_digest",
+        "jsonl_roundtrip_documents",
+        "orc_roundtrip_documents",
+        "multimodal_decode_features",
+    }
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        if name in skip:
+            continue
+        try:
+            plan = _plan(fn(spark, sf))
+        except Exception as exc:  # pragma: no cover - lint must not mask
+            bad.append((name, f"plan build failed: {exc}"))
+            continue
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct in executed plan"))
+    assert not bad, bad
