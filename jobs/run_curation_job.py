@@ -24,17 +24,50 @@ Launch (local or cluster — the job only talks to the SparkSession):
         [--select-frac 0.5] [--n-shards 64] [--seed 0]
 
 Every stage is deterministic (md5/xxhash keys, hash-seeded Gumbel
-draw), so a re-run reproduces the same shards byte-for-byte — the
-property that makes the chain resumable and auditable at corpus scale.
-Prints one JSON line: per-stage doc counts + wall seconds.
+draw), so a re-run reproduces the same shards byte-for-byte — and the
+job is RESUMABLE: each parquet barrier (filtered/, deduped/, shards/)
+commits with a write-then-manifest protocol (the pipeline/checkpoint.py
+posture — a crash between the parquet write and the manifest simply
+re-runs that stage and overwrites), and the manifest carries a
+fingerprint of every argument that feeds the stage, so a re-submit
+skips completed stages (full re-submit after success is a
+seconds-scale no-op) while ANY relevant argument change invalidates
+the stage and everything downstream. Prints one JSON line: per-stage
+doc counts + wall seconds (+ resumed flags).
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
+import os
 import sys
+import tempfile
 import time
+
+
+def _stage_manifest(path: str) -> str:
+    return os.path.join(path, "_stage_manifest.json")
+
+
+def _read_stage(path: str, fingerprint: str) -> dict | None:
+    """The stage's committed manifest, or None if absent/stale."""
+    try:
+        with open(_stage_manifest(path)) as f:
+            m = json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    return m if m.get("fingerprint") == fingerprint else None
+
+
+def _commit_stage(path: str, fingerprint: str, docs: int, **extra) -> None:
+    # atomic replace AFTER the parquet write: a crash before this line
+    # re-runs the stage on resume (mode=overwrite makes that idempotent)
+    fd, tmp = tempfile.mkstemp(dir=path, prefix=".stage-manifest-")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"fingerprint": fingerprint, "docs": docs, **extra}, f)
+    os.replace(tmp, _stage_manifest(path))
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -78,59 +111,130 @@ def main(argv: list[str] | None = None) -> int:
         stages[name] = {"docs": n, "wall_s": round(time.time() - t0, 1)}
         return n
 
-    t0 = time.time()
-    if args.synthesize:
-        from deidentify_spark.sources.pages import PAGE_COLUMNS, generate_pages
+    # per-stage fingerprints: every argument that feeds the stage (or
+    # any upstream stage) participates, so a changed argument
+    # invalidates exactly the stages it can affect
+    fp1 = hashlib.md5(
+        json.dumps(
+            {
+                "input": args.input,
+                "synthesize": args.synthesize,
+                "seed": args.seed,
+                "key": hashlib.md5(args.secret_key.encode()).hexdigest(),
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
+    fp2 = hashlib.md5((fp1 + "|dedup-v1").encode()).hexdigest()
+    fp3 = hashlib.md5(
+        json.dumps(
+            {
+                "up": fp2,
+                "select_frac": args.select_frac,
+                "n_shards": args.n_shards,
+                "seed": args.seed,
+                "max_per_host": args.max_per_host,
+            },
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()
 
-        pages = generate_pages(
-            spark,
-            args.synthesize,
-            seed=args.seed or 1,
-            partitions=spark.sparkContext.defaultParallelism * 2,
-        ).select(*PAGE_COLUMNS)
+    t0 = time.time()
+    m1 = _read_stage(f"{args.output}/filtered", fp1)
+    if m1 is not None:
+        docs = spark.read.parquet(f"{args.output}/filtered")
+        n_in = m1["docs"]
+        stages["filter_scrub"] = {"docs": n_in, "resumed": True}
     else:
-        pages = spark.read.parquet(args.input)
+        if args.synthesize:
+            from deidentify_spark.sources.pages import (
+                PAGE_COLUMNS,
+                generate_pages,
+            )
 
-    # Stage 1: quality filter + scrub; only KEPT docs continue (dropped
-    # docs have no scrubbed text — carrying them forward as "" would
-    # make them all exact duplicates of each other, a bug the first
-    # smoke run of this job caught: 20k docs "deduped" to 10k because
-    # every dropped doc collapsed onto the empty string). Perplexity
-    # rides along as the DSIR target signal.
-    filtered = run_pipeline(pages, PipelineConfig(secret_key=args.secret_key))
-    # doc_id = xxhash64(url) MUST be unique before the chain: duplicate
-    # urls in a real --input (or a 64-bit collision at scale) would
-    # multiply rows through dsir_select's doc_id join and corrupt
-    # shard_pos. dropDuplicates keeps one arbitrary row per id — a
-    # duplicate url is the same page crawled twice (exact dedup would
-    # collapse it anyway), and a true hash collision drops one doc in
-    # 2^64 — both acceptable, neither silent row multiplication.
-    docs = (
-        filtered.where("keep")
-        .select(
-            F.xxhash64("url").alias("doc_id"),
-            "url",
-            F.col("scrubbed_text").alias("text"),
-            "perplexity",
+            pages = generate_pages(
+                spark,
+                args.synthesize,
+                seed=args.seed or 1,
+                partitions=spark.sparkContext.defaultParallelism * 2,
+            ).select(*PAGE_COLUMNS)
+        else:
+            pages = spark.read.parquet(args.input)
+
+        # Stage 1: quality filter + scrub; only KEPT docs continue
+        # (dropped docs have no scrubbed text — carrying them forward
+        # as "" would make them all exact duplicates of each other, a
+        # bug the first smoke run of this job caught: 20k docs
+        # "deduped" to 10k because every dropped doc collapsed onto the
+        # empty string). Perplexity rides along as the DSIR target
+        # signal.
+        filtered = run_pipeline(
+            pages, PipelineConfig(secret_key=args.secret_key)
         )
-        .dropDuplicates(["doc_id"])
-    )
-    # parquet barrier: every downstream stage re-reads this slice
-    # instead of re-running the Arrow filter+scrub chain
-    docs.write.mode("overwrite").parquet(f"{args.output}/filtered")
-    docs = spark.read.parquet(f"{args.output}/filtered")
-    n_in = tick("filter_scrub", docs, t0)
+        # doc_id = xxhash64(url) MUST be unique before the chain:
+        # duplicate urls in a real --input (or a 64-bit collision at
+        # scale) would multiply rows through dsir_select's doc_id join
+        # and corrupt shard_pos. dropDuplicates keeps one arbitrary row
+        # per id — a duplicate url is the same page crawled twice
+        # (exact dedup would collapse it anyway), and a true hash
+        # collision drops one doc in 2^64 — both acceptable, neither
+        # silent row multiplication.
+        docs = (
+            filtered.where("keep")
+            .select(
+                F.xxhash64("url").alias("doc_id"),
+                "url",
+                F.col("scrubbed_text").alias("text"),
+                "perplexity",
+            )
+            .dropDuplicates(["doc_id"])
+        )
+        # parquet barrier: every downstream stage re-reads this slice
+        # instead of re-running the Arrow filter+scrub chain
+        docs.write.mode("overwrite").parquet(f"{args.output}/filtered")
+        docs = spark.read.parquet(f"{args.output}/filtered")
+        n_in = tick("filter_scrub", docs, t0)
+        _commit_stage(f"{args.output}/filtered", fp1, n_in)
 
-    t0 = time.time()
-    docs = exact_dedup(docs)
-    n_exact = tick("exact_dedup", docs, t0)
+    m2 = _read_stage(f"{args.output}/deduped", fp2)
+    if m2 is not None:
+        docs = spark.read.parquet(f"{args.output}/deduped")
+        n_exact, n_fuzzy = m2["n_exact"], m2["docs"]
+        stages["exact_dedup"] = {"docs": n_exact, "resumed": True}
+        stages["fuzzy_dedup"] = {"docs": n_fuzzy, "resumed": True}
+    else:
+        t0 = time.time()
+        docs = exact_dedup(docs)
+        n_exact = tick("exact_dedup", docs, t0)
 
-    t0 = time.time()
-    pairs = minhash_lsh_candidates(docs)
-    docs = fuzzy_dedup_keep(docs, pairs)
-    docs.write.mode("overwrite").parquet(f"{args.output}/deduped")
-    docs = spark.read.parquet(f"{args.output}/deduped")
-    n_fuzzy = tick("fuzzy_dedup", docs, t0)
+        t0 = time.time()
+        pairs = minhash_lsh_candidates(docs)
+        docs = fuzzy_dedup_keep(docs, pairs)
+        docs.write.mode("overwrite").parquet(f"{args.output}/deduped")
+        docs = spark.read.parquet(f"{args.output}/deduped")
+        n_fuzzy = tick("fuzzy_dedup", docs, t0)
+        _commit_stage(
+            f"{args.output}/deduped", fp2, n_fuzzy, n_exact=n_exact
+        )
+
+    m3 = _read_stage(f"{args.output}/shards", fp3)
+    if m3 is not None:
+        n_sel = m3["docs"]
+        stages["dsir_select"] = {"docs": n_sel, "resumed": True}
+        stages["shard_write"] = {"docs": n_sel, "resumed": True}
+        print(
+            json.dumps(
+                {
+                    "n_input": n_in,
+                    "n_after_exact": n_exact,
+                    "n_after_fuzzy": n_fuzzy,
+                    "n_selected": n_sel,
+                    "n_shards": args.n_shards,
+                    "stages": stages,
+                }
+            )
+        )
+        return 0
 
     if args.max_per_host:
         from deidentify_spark.functions.urls import url_host
@@ -173,6 +277,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs": n_sel,
         "wall_s": round(time.time() - t0, 1),
     }
+    _commit_stage(f"{args.output}/shards", fp3, n_sel)
     # every consumer of dsir_select's slim-projection cache (the count
     # above AND the shard write, which reads `selected` again) is done —
     # release the operator-registered caches (runtime.py) so a composed

@@ -96,3 +96,11 @@ def test_spark_submit_curation_chain(tmp_path):
     assert (s2["n_after_fuzzy"], s2["n_selected"]) == (
         s["n_after_fuzzy"], s["n_selected"]
     )
+    # resume contract: re-submit to the SAME output is a no-op — every
+    # stage reports resumed:true off its committed manifest, counts
+    # identical, and the shard output is untouched
+    s3 = submit(tmp_path / "out1")
+    assert all(st.get("resumed") for st in s3["stages"].values()), s3
+    assert (s3["n_input"], s3["n_after_fuzzy"], s3["n_selected"]) == (
+        s["n_input"], s["n_after_fuzzy"], s["n_selected"]
+    )
