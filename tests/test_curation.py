@@ -561,3 +561,22 @@ def test_chunk_text_is_shuffle_free(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_chunk_text_giant_doc_linear(spark):
+    """A single pathological giant doc must chunk with linear volume —
+    the transform materializes one struct array ~window/stride x the
+    text size, never an n^2 blow-up."""
+    from deidentify_spark.operators.curation import chunk_text
+
+    n = 200_000
+    giant = " ".join(f"w{i}" for i in range(n))
+    df = _docs(spark, [(1, "s", giant)])
+    agg = chunk_text(df, window=128, stride=96).groupBy().agg(
+        F.count(F.lit(1)).alias("chunks"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    expect_chunks = (n - 1) // 96 + 1
+    assert agg.chunks == expect_chunks
+    # total chunk tokens: full windows except the tail remainder
+    expect_tok = sum(min(128, n - s) for s in range(0, n, 96))
+    assert agg.tok == expect_tok
