@@ -154,6 +154,103 @@ TFIDF_TOP_TERMS_SQL = """
 """
 
 
+def unigram_divergence(
+    docs: DataFrame,
+    group_a: str,
+    group_b: str,
+    *,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distribution drift between two corpus slices: smoothed unigram
+    KL(A||B), KL(B||A), and Jensen-Shannon divergence — the standard
+    corpus-QA / domain-shift signal a data-mixing pass reads before
+    reweighting sources (DSIR itself is importance weighting between
+    exactly such distributions; this is the diagnostic view).
+
+    Add-one (Laplace) smoothing over the UNION vocabulary keeps both
+    distributions strictly positive so every log is finite:
+    p_a(t) = (n_a(t)+1) / (N_a+V). Output is ONE row:
+    (group_a, group_b, n_terms, kl_ab, kl_ba, js) with divergences in
+    nats rounded to 6 (the 1e-13-scale float-sum associativity noise
+    between engines is ~7 decimal orders below the rounding step).
+
+    Scale: token explode -> groupBy(group, term) count is map-side
+    combined (hot terms like "the" collapse before the shuffle), then
+    one groupBy(term) pivot-to-two-columns and a single-row final
+    aggregate. No windows, no driver data actions, two shuffles total —
+    both on term-sized tables, corpus size only enters the first
+    map-combined pass.
+    """
+    both = docs.where(F.col(group_col).isin(group_a, group_b))
+    counts = (
+        _words(both, text_col, group_col)
+        .groupBy(group_col, "term")
+        .agg(F.count("*").alias("n"))
+    )
+    byterm = counts.groupBy("term").agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, F.col("n")).otherwise(0)
+        ).alias("na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, F.col("n")).otherwise(0)
+        ).alias("nb"),
+    )
+    tot = byterm.agg(
+        F.sum("na").alias("ta"),
+        F.sum("nb").alias("tb"),
+        F.count("*").alias("v"),
+    )
+    pa = (F.col("na") + 1.0) / (F.col("ta") + F.col("v"))
+    pb = (F.col("nb") + 1.0) / (F.col("tb") + F.col("v"))
+    m = (pa + pb) / 2.0
+    probs = byterm.crossJoin(F.broadcast(tot)).select(
+        F.col("v"),
+        (pa * F.log(pa / pb)).alias("_kab"),
+        (pb * F.log(pb / pa)).alias("_kba"),
+        (pa * F.log(pa / m)).alias("_jam"),
+        (pb * F.log(pb / m)).alias("_jbm"),
+    )
+    return probs.agg(
+        F.lit(group_a).alias("group_a"),
+        F.lit(group_b).alias("group_b"),
+        F.first("v").alias("n_terms"),
+        F.round(F.sum("_kab"), 6).alias("kl_ab"),
+        F.round(F.sum("_kba"), 6).alias("kl_ba"),
+        F.round(0.5 * F.sum("_jam") + 0.5 * F.sum("_jbm"), 6).alias("js"),
+    )
+
+
+UNIGRAM_DIVERGENCE_SQL = """
+    WITH words AS (
+        SELECT {group_col} AS grp,
+               UNNEST(string_split({text_col}, ' ')) AS term
+        FROM {table}
+        WHERE {group_col} IN ('{group_a}', '{group_b}')
+    ),
+    byterm AS (
+        SELECT term,
+               SUM(CASE WHEN grp = '{group_a}' THEN 1 ELSE 0 END) AS na,
+               SUM(CASE WHEN grp = '{group_b}' THEN 1 ELSE 0 END) AS nb
+        FROM words WHERE term <> '' GROUP BY term
+    ),
+    tot AS (SELECT SUM(na) AS ta, SUM(nb) AS tb, COUNT(*) AS v FROM byterm),
+    probs AS (
+        SELECT v,
+               (na + 1.0) / (ta + v) AS pa,
+               (nb + 1.0) / (tb + v) AS pb
+        FROM byterm, tot
+    )
+    SELECT '{group_a}' AS group_a, '{group_b}' AS group_b,
+           FIRST(v) AS n_terms,
+           ROUND(SUM(pa * LN(pa / pb)), 6) AS kl_ab,
+           ROUND(SUM(pb * LN(pb / pa)), 6) AS kl_ba,
+           ROUND(0.5 * SUM(pa * LN(pa / ((pa + pb) / 2)))
+                 + 0.5 * SUM(pb * LN(pb / ((pa + pb) / 2))), 6) AS js
+    FROM probs
+"""
+
+
 def encode_token_ids(
     docs: DataFrame,
     vocab: DataFrame,

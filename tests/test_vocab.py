@@ -116,6 +116,88 @@ def test_encode_token_ids_vocab_and_oov(spark):
     assert all(i >= 3 for i in (out[1][2], out[1][5]))
 
 
+def test_unigram_divergence_hand_value(spark):
+    import math
+
+    from deidentify_spark.operators.vocab import unigram_divergence
+
+    docs = spark.createDataFrame(
+        [(0, "x x y", "a"), (1, "x z", "b"), (2, "ignored", "c")],
+        ["doc_id", "text", "source"],
+    )
+    row = unigram_divergence(docs, "a", "b").collect()[0]
+    # union vocab {x,y,z} V=3; a: x=2,y=1 (ta=3); b: x=1,z=1 (tb=2)
+    pa = {"x": 3 / 6, "y": 2 / 6, "z": 1 / 6}
+    pb = {"x": 2 / 5, "y": 1 / 5, "z": 2 / 5}
+    kl_ab = sum(pa[t] * math.log(pa[t] / pb[t]) for t in pa)
+    kl_ba = sum(pb[t] * math.log(pb[t] / pa[t]) for t in pa)
+    js = 0.5 * sum(
+        pa[t] * math.log(pa[t] / ((pa[t] + pb[t]) / 2)) for t in pa
+    ) + 0.5 * sum(pb[t] * math.log(pb[t] / ((pa[t] + pb[t]) / 2)) for t in pa)
+    assert row["n_terms"] == 3
+    assert row["kl_ab"] == pytest.approx(round(kl_ab, 6))
+    assert row["kl_ba"] == pytest.approx(round(kl_ba, 6))
+    assert row["js"] == pytest.approx(round(js, 6))
+    assert row["group_a"] == "a" and row["group_b"] == "b"
+    # divergences are positive for distinct distributions; JS <= ln 2
+    assert 0 < row["js"] <= math.log(2)
+
+
+def test_unigram_divergence_duckdb_twin(spark):
+    import duckdb
+
+    from deidentify_spark.operators.vocab import (
+        UNIGRAM_DIVERGENCE_SQL,
+        unigram_divergence,
+    )
+
+    rows = [
+        (0, "the cat sat on the mat", "a"),
+        (1, "the dog  sat", "a"),
+        (2, "cat cat dog runs", "b"),
+        (3, "", "b"),
+        (4, "other corpus entirely", "c"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    s = unigram_divergence(docs, "a", "b").toPandas()
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    )
+    o = con.execute(
+        UNIGRAM_DIVERGENCE_SQL.format(
+            table="documents",
+            group_col="source",
+            text_col="text",
+            group_a="a",
+            group_b="b",
+        )
+    ).df()
+    cols = sorted(s.columns)
+    pd.testing.assert_frame_equal(
+        s[cols].reset_index(drop=True),
+        o[cols].reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_unigram_divergence_plan_has_no_window(spark):
+    """Aggregate-only plan: no Window node anywhere (the op is two
+    map-side-combined groupBys plus a single-row final aggregate)."""
+    from deidentify_spark.operators.vocab import unigram_divergence
+
+    docs = spark.createDataFrame(
+        [(0, "x", "a"), (1, "y", "b")], ["doc_id", "text", "source"]
+    )
+    plan = (
+        unigram_divergence(docs, "a", "b")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
+
+
 def test_encode_token_ids_is_map_side(spark):
     from deidentify_spark.operators.vocab import encode_token_ids
 
