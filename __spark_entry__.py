@@ -1958,6 +1958,37 @@ def bpe_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), num_merges=20)
 
 
+def bpe_subwords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE over the corpus (§2.G; operators/bpe.py):
+    encode every document with the committed learned merge table
+    (fixtures/bpe_merges_golden.json — the tokenizer `bpe_merges`
+    trains), then the top-20 subword frequency table. One map-only
+    Arrow pass (merge list broadcast, per-batch word memo) + a
+    map-combined count + TakeOrdered; the rank window runs over the
+    already-limited 20 rows. Oracle: golden generated by the same
+    independent pure-Python reference as the merge table."""
+    import json as _json
+
+    from deidentify_spark.operators.bpe import bpe_encode
+
+    with open(os.path.join(_REPO, "fixtures", "bpe_merges_golden.json")) as f:
+        ranked = [(m["lhs"], m["rhs"]) for m in _json.load(f)]
+    enc = bpe_encode(_t(spark, sf_dir, "documents"), ranked)
+    counts = (
+        enc.select(F.explode("bpe_tokens").alias("subword"))
+        .groupBy("subword")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("subword"))
+    return (
+        counts.orderBy(F.col("n").desc(), "subword")
+        .limit(20)
+        .select(
+            "subword", "n", F.row_number().over(w).alias("rank")
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate: the driver's correctness sweep records the
     # FIRST 50 registered queries (observed cap, rounds 1-5), so the
@@ -2091,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_divergence_documents": unigram_divergence_documents,
         "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
         "bpe_merges_documents": bpe_merges_documents,
+        "bpe_subwords_documents": bpe_subwords_documents,
     }
 
 
@@ -2311,6 +2343,14 @@ def oracle_sql() -> dict[str, str]:
                 ("rhs", "VARCHAR"),
                 ("merged", "VARCHAR"),
                 ("pair_count", "BIGINT"),
+            ],
+        ),
+        "bpe_subwords_documents": _golden_values_sql(
+            "bpe_subwords_golden.json",
+            [
+                ("subword", "VARCHAR"),
+                ("n", "BIGINT"),
+                ("rank", "INTEGER"),
             ],
         ),
         "vocab_topk_documents": _vocab_sql,

@@ -80,6 +80,29 @@ def word_counts_from_parquet(path: str) -> dict[str, int]:
     return {w: int(c) for w, c in rows}
 
 
+def ref_subword_topk(
+    word_counts: dict[str, int], merges: list[dict], k: int = 20
+) -> list[dict]:
+    """Reference subword frequency table: encode every distinct word
+    with the merge list (the operator's own shared pure apply), weight
+    by word count, rank top-k by (n desc, subword asc)."""
+    import sys
+
+    sys.path.insert(0, _REPO)
+    from deidentify_spark.operators.bpe import apply_merges_to_word
+
+    ranked = [(m["lhs"], m["rhs"]) for m in merges]
+    counts: Counter = Counter()
+    for w, c in word_counts.items():
+        for tok in apply_merges_to_word(w, ranked):
+            counts[tok] += c
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [
+        {"subword": t, "n": n, "rank": i + 1}
+        for i, (t, n) in enumerate(top)
+    ]
+
+
 def main() -> None:
     wc = word_counts_from_parquet(
         "/root/testdata/sf0.01/documents.parquet"
@@ -89,6 +112,11 @@ def main() -> None:
     with open(out, "w") as f:
         json.dump(merges, f, indent=1)
     print(f"wrote {len(merges)} merges to {out}")
+    sub = ref_subword_topk(wc, merges, k=20)
+    out2 = os.path.join(_REPO, "fixtures", "bpe_subwords_golden.json")
+    with open(out2, "w") as f:
+        json.dump(sub, f, indent=1)
+    print(f"wrote {len(sub)} subword rows to {out2}")
 
 
 if __name__ == "__main__":

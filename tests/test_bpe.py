@@ -93,6 +93,86 @@ def test_bpe_golden_fixture_is_reference_derived():
     assert frozen == live
 
 
+def test_bpe_encode_roundtrip_and_nulls(spark):
+    """Encoding with the merges learned FROM the same corpus reproduces
+    the training end-state word segmentations; null/empty texts
+    propagate; joining subwords (minus </w>) reconstructs the text."""
+    from deidentify_spark.operators.bpe import END_OF_WORD, bpe_encode
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6)
+    docs = spark.createDataFrame(
+        [(0, text), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    merges = bpe_merges(docs, num_merges=5)
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert out[1] == [] and out[2] is None
+    # lossless: concatenating subwords per word recovers the input
+    rebuilt = (
+        "".join(out[0]).replace(END_OF_WORD, " ").rstrip()
+    )
+    assert rebuilt == text
+    # the top merge sequences actually fused: far fewer symbols than chars
+    assert len(out[0]) < sum(len(w) + 1 for w in text.split(" "))
+
+
+def test_bpe_encode_matches_reference_apply(spark):
+    """The Arrow UDF and the shared pure apply agree token-for-token on
+    real corpus text with an independently learned merge list."""
+    from deidentify_spark.operators.bpe import (
+        apply_merges_to_word,
+        bpe_encode,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    wc = word_counts_from_parquet(f"{sf}/documents.parquet")
+    ranked = [
+        (m["lhs"], m["rhs"]) for m in ref_bpe_merges(wc, num_merges=10)
+    ]
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(50)
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, ranked).collect()
+    }
+    for r in docs.collect():
+        exp = []
+        for w in r["text"].split(" "):
+            if w:
+                exp.extend(apply_merges_to_word(w, ranked))
+        assert got[r["doc_id"]] == exp
+
+
+def test_bpe_subword_golden_is_reference_derived():
+    """fixtures/bpe_subwords_golden.json equals a live reference
+    re-derivation (word counts -> ref merges -> shared apply -> top-20)."""
+    from scripts.make_bpe_golden import ref_subword_topk
+
+    with open(
+        os.path.join(REPO, "fixtures", "bpe_subwords_golden.json")
+    ) as f:
+        frozen = json.load(f)
+    wc = word_counts_from_parquet(
+        "/root/testdata/sf0.01/documents.parquet"
+    )
+    live = ref_subword_topk(wc, ref_bpe_merges(wc, num_merges=20), k=20)
+    assert frozen == live
+
+
+def test_bpe_encode_is_map_only(spark):
+    from deidentify_spark.operators.bpe import bpe_encode
+
+    docs = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    plan = (
+        bpe_encode(docs, [("a", "b")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_bpe_pair_scan_is_jvm_side(spark):
     """The per-rank pair-count plan must contain no Python row UDF:
     adjacent pairs come from a JVM `transform` over the symbol array
