@@ -95,6 +95,9 @@ BENCH_QUERIES = [
     "exact_percentiles_documents",
     "chunk_text_documents",
     "lm_perplexity_documents",
+    "unigram_divergence_documents",
+    "kmeans_clusters_embeddings",
+    "bpe_subwords_documents",
     "scrub_documents",
 ]
 
