@@ -11,7 +11,9 @@ operators end-to-end on the quality-filter output:
     (importance-resample the
     deduped pool toward its lowest-perplexity quartile, Gumbel-top-k
     draw)  ->  deterministic shard assignment  ->  parquet partitioned
-    by shard, plus a per-stage lineage JSON.
+    by shard  ->  [opt-in --tokenize N: train an N-merge BPE tokenizer
+    ON the curated corpus, encode every shard to subword sequences,
+    write tokens/ partitioned by shard]  ->  per-stage lineage JSON.
 
 Launch (local or cluster — the job only talks to the SparkSession):
 
@@ -70,6 +72,69 @@ def _commit_stage(path: str, fingerprint: str, docs: int, **extra) -> None:
     os.replace(tmp, _stage_manifest(path))
 
 
+def _maybe_tokenize(spark, args, fp3: str, stages: dict) -> None:
+    """Opt-in terminal stage: train --tokenize BPE merges on the
+    curated shards, encode them to subword sequences, write tokens/
+    partitioned by shard. Resumable like every other stage; the
+    learned merge table rides in the manifest (the tokenizer is a
+    committed artifact of the run)."""
+    if not args.tokenize:
+        return
+    import hashlib as _h
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    fp4 = _h.md5(
+        json.dumps(
+            {"up": fp3, "tokenize": args.tokenize}, sort_keys=True
+        ).encode()
+    ).hexdigest()
+    m4 = _read_stage(f"{args.output}/tokens", fp4)
+    if m4 is not None:
+        stages["tokenize"] = {
+            "docs": m4["docs"],
+            "subwords": m4.get("subwords"),
+            "resumed": True,
+        }
+        return
+    from deidentify_spark.operators.bpe import bpe_encode, bpe_merges
+
+    t0 = _t.time()
+    # the shards barrier is the stage input (underscore-prefixed
+    # manifest files are invisible to the parquet reader)
+    sharded = spark.read.parquet(f"{args.output}/shards")
+    mrows = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_merges(sharded, num_merges=args.tokenize)
+        .orderBy("rank")
+        .collect()
+    ]
+    enc = bpe_encode(sharded, mrows).withColumn(
+        "n_subwords", F.size("bpe_tokens")
+    )
+    enc.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{args.output}/tokens"
+    )
+    toks = spark.read.parquet(f"{args.output}/tokens")
+    agg = toks.agg(
+        F.count(F.lit(1)).alias("d"), F.sum("n_subwords").alias("s")
+    ).collect()[0]
+    stages["tokenize"] = {
+        "docs": int(agg["d"]),
+        "wall_s": round(_t.time() - t0, 1),
+        "subwords": int(agg["s"]),
+        "merges": len(mrows),
+    }
+    _commit_stage(
+        f"{args.output}/tokens",
+        fp4,
+        int(agg["d"]),
+        subwords=int(agg["s"]),
+        merge_table=mrows,
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input")
@@ -85,6 +150,13 @@ def main(argv: list[str] | None = None) -> int:
     # by the deterministic md5 priority (operators/curation.domain_cap,
     # two-phase bucketed ranking — a mega-host never sorts in one task).
     p.add_argument("--max-per-host", type=int, default=0)
+    # Opt-in terminal tokenize stage (0 = off, the default): learn an
+    # N-merge BPE tokenizer FROM the curated shards (the realistic
+    # flow — the tokenizer should reflect the corpus that survived
+    # curation, not the raw crawl) and encode every shard to subword
+    # sequences under tokens/. The learned merge table is committed in
+    # the stage manifest so the tokenizer itself is an artifact.
+    p.add_argument("--tokenize", type=int, default=0)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
@@ -222,6 +294,7 @@ def main(argv: list[str] | None = None) -> int:
         n_sel = m3["docs"]
         stages["dsir_select"] = {"docs": n_sel, "resumed": True}
         stages["shard_write"] = {"docs": n_sel, "resumed": True}
+        _maybe_tokenize(spark, args, fp3, stages)
         print(
             json.dumps(
                 {
@@ -285,6 +358,7 @@ def main(argv: list[str] | None = None) -> int:
     from deidentify_spark.runtime import release_tracked
 
     release_tracked()
+    _maybe_tokenize(spark, args, fp3, stages)
 
     print(
         json.dumps(

@@ -57,7 +57,7 @@ def test_spark_submit_curation_chain(tmp_path):
         for f in (ROOT / "deidentify_spark").rglob("*.py"):
             zf.write(f, f.relative_to(ROOT))
 
-    def submit(out_dir):
+    def submit(out_dir, *extra):
         r = subprocess.run(
             [
                 "spark-submit",
@@ -71,6 +71,7 @@ def test_spark_submit_curation_chain(tmp_path):
                 "--secret-key", "test-secret-key",
                 "--select-frac", "0.5",
                 "--n-shards", "8",
+                *extra,
             ],
             capture_output=True,
             text=True,
@@ -104,3 +105,23 @@ def test_spark_submit_curation_chain(tmp_path):
     assert (s3["n_input"], s3["n_after_fuzzy"], s3["n_selected"]) == (
         s["n_input"], s["n_after_fuzzy"], s["n_selected"]
     )
+    # opt-in tokenize stage ONTO the finished run: upstream stages all
+    # resume, only tokenize computes; tokens/ covers every selected doc
+    # and the learned merge table is committed in the stage manifest
+    s4 = submit(tmp_path / "out1", "--tokenize", "6")
+    assert s4["stages"]["tokenize"]["docs"] == s["n_selected"], s4
+    assert s4["stages"]["tokenize"]["merges"] == 6
+    assert s4["stages"]["dsir_select"].get("resumed"), s4
+    n_tok = duckdb.sql(
+        f"SELECT COUNT(*), SUM(len(bpe_tokens)) FROM "
+        f"read_parquet('{tmp_path}/out1/tokens/*/*.parquet', hive_partitioning=1)"
+    ).fetchone()
+    assert n_tok[0] == s["n_selected"]
+    assert n_tok[1] == s4["stages"]["tokenize"]["subwords"] > 0
+    manifest = json.loads(
+        (tmp_path / "out1" / "tokens" / "_stage_manifest.json").read_text()
+    )
+    assert len(manifest["merge_table"]) == 6
+    # and a further re-submit resumes the tokenize stage too
+    s5 = submit(tmp_path / "out1", "--tokenize", "6")
+    assert s5["stages"]["tokenize"].get("resumed"), s5
