@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "unigram_divergence_documents",
     "kmeans_clusters_embeddings",
     "bpe_subwords_documents",
+    "logreg_classifier_documents",
     "scrub_documents",
 ]
 

@@ -120,3 +120,76 @@ def test_featureless_doc_scores_bias(spark, pages):
     got = nb_score(one, w, b).select("nb_score").collect()[0][0]
     bias = b.collect()[0][0]
     assert got == pytest.approx(bias)
+
+
+# ---------------------------------------------------------------- logreg
+
+
+def test_logreg_heldout_quality(spark, pages):
+    """NBSVM-init + Böhning-Lindsay MM logreg beats the NB closed form
+    on the learnable quality label (measured: 0.923 held-out vs 0.851
+    NB; deterministic generator, float-order noise only)."""
+    from deidentify_spark.operators.classifier import logreg_score, logreg_train
+
+    w, b = logreg_train(pages.where("doc_id < 3000"), "y", n_iters=5)
+    w = w.persist()
+    scored = logreg_score(pages.where("doc_id >= 3000"), w, b)
+    hit = (F.col("lr_score_pred") == F.col("y")).cast("double")
+    overall = scored.agg(F.avg(hit).alias("a")).collect()[0].a
+    assert overall >= 0.90, overall
+    per = {
+        r.expected_drop_reason: r.acc
+        for r in scored.groupBy("expected_drop_reason")
+        .agg(F.avg(hit).alias("acc"))
+        .collect()
+    }
+    assert per[None] >= 0.9  # clean docs kept
+    for cls in LEXICAL:
+        assert per[cls] >= 0.9, (cls, per[cls])
+    w.unpersist()
+
+
+def test_logreg_loss_monotone_descent(spark, pages):
+    """The fixed Böhning-Lindsay majorant guarantees each update
+    minimizes a quadratic upper bound of the train log-loss — the loss
+    sequence must be strictly decreasing (this is the property that
+    died with plain GD and with a current-iterate Hessian, both
+    measured diverging to loss ~17)."""
+    import math
+
+    from deidentify_spark.operators.classifier import logreg_train
+
+    _, _, losses = logreg_train(
+        pages.where("doc_id < 400"), "y", n_buckets=2048, n_iters=4,
+        track_loss=True,
+    )
+    assert len(losses) == 4
+    assert all(math.isfinite(x) for x in losses)
+    for a, b_ in zip(losses, losses[1:]):
+        assert b_ < a, losses
+
+
+def test_logreg_featureless_doc_scores_bias(spark, pages):
+    from deidentify_spark.operators.classifier import logreg_score, logreg_train
+
+    w, b = logreg_train(pages.where("doc_id < 500"), "y", n_buckets=2048)
+    one = spark.createDataFrame([(99_999, None)], "doc_id long, text string")
+    got = (
+        logreg_score(one, w, b, n_buckets=2048)
+        .select("lr_score")
+        .collect()[0][0]
+    )
+    assert got == pytest.approx(b)
+
+
+def test_logreg_training_deterministic_across_partitioning(spark, pages):
+    """Same data, different partitioning -> same rounded model (float
+    summation order may differ at 1e-15; round to 9 decimals)."""
+    from deidentify_spark.operators.classifier import logreg_train
+
+    train = pages.where("doc_id < 600")
+    w1, b1 = logreg_train(train, "y", n_buckets=2048, n_iters=2)
+    w2, b2 = logreg_train(train.repartition(13), "y", n_buckets=2048, n_iters=2)
+    r = lambda w: w.select("feature", F.round("w", 9).alias("w"))
+    assert r(w1).exceptAll(r(w2)).count() == 0
+    assert b1 == pytest.approx(b2)
