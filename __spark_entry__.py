@@ -1989,6 +1989,39 @@ def bpe_subwords_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pca_top_component_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spectral decomposition IN the engine
+    (operators/pca.py): top principal component of the embeddings table
+    via 8 power-iteration steps over the centered vectors — one
+    map-combined d-sum aggregate per iteration, O(d) driver traffic,
+    deterministic uniform init. The DuckDB oracle unrolls the ENTIRE
+    loop (centering, projection, per-dimension sums, normalization) as
+    materialized CTEs; all 64 loadings + the Rayleigh eigenvalue must
+    match to 4 decimals after 8 rounds of iterate feedback. Third
+    member of the iterative-numerics family (k-means, MM logreg)."""
+    from deidentify_spark.operators.pca import power_iteration_top_pc
+
+    return power_iteration_top_pc(
+        _t(spark, sf_dir, "embeddings"), n_iter=8, dim=64, round_to=4
+    )
+
+
+def covariance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population covariance matrix of the embeddings table in
+    ONE corpus pass (operators/pca.py `covariance_matrix`): all
+    d(d+1)/2 cross sums + means + n in a single map-side-combined
+    aggregate — no explode, no join, no vector-row shuffle. The
+    gap-free route to PCA at scale (driver eigh of the bounded 32 KB
+    output) vs T power-iteration passes. Oracle: the same
+    E[XY]-E[X]E[Y] aggregate in DuckDB, all 2 080 upper-triangle
+    entries matched to 6 decimals."""
+    from deidentify_spark.operators.pca import covariance_matrix
+
+    return covariance_matrix(
+        _t(spark, sf_dir, "embeddings"), dim=64, round_to=6
+    )
+
+
 def logreg_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed ITERATIVE model training IN the engine
     (operators/classifier.py): full-batch logistic regression over the
@@ -2158,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_documents": bpe_merges_documents,
         "bpe_subwords_documents": bpe_subwords_documents,
         "logreg_classifier_documents": logreg_classifier_documents,
+        "pca_top_component_embeddings": pca_top_component_embeddings,
+        "covariance_embeddings": covariance_embeddings,
     }
 
 
@@ -2585,6 +2620,12 @@ def oracle_sql() -> dict[str, str]:
         ).logreg_oracle_sql(
             "documents", "doc_id < 250", "lang = 'en'", n_iters=5
         ),
+        "pca_top_component_embeddings": __import__(
+            "deidentify_spark.operators.pca", fromlist=["pca_oracle_sql"]
+        ).pca_oracle_sql("embeddings", n_iter=8, dim=64),
+        "covariance_embeddings": __import__(
+            "deidentify_spark.operators.pca", fromlist=["covariance_oracle_sql"]
+        ).covariance_oracle_sql("embeddings", dim=64, round_to=6),
         "dsir_selection_documents": __import__(
             "deidentify_spark.operators.dsir", fromlist=["dsir_oracle_sql"]
         ).dsir_oracle_sql(
