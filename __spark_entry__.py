@@ -35,6 +35,50 @@ from pyspark.sql.window import Window
 
 SECRET_KEY = "test-secret-key"
 
+# Banded-minhash candidate-pair SQL (k=8, 4 bands of 2, bucket cap
+# 1000) — the DuckDB twin of minhash_lsh_candidates. Shared verbatim by
+# the candidate query's oracle and the verification query's oracle so
+# the two stay in lockstep by construction.
+_MINHASH_CAND_SQL = """
+            WITH words AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id,
+                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
+                               for i in generate_series(1, len(w)-2)]) AS shingle
+                FROM words
+            ), mh AS (
+                SELECT doc_id,
+                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
+                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
+                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
+                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
+                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
+                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
+                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
+                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
+                UNION ALL
+                SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
+                UNION ALL
+                SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
+            ), kept AS (
+                -- degenerate-bucket cap (max_bucket_size=1000), as Spark
+                SELECT doc_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS bsz
+                FROM bands QUALIFY bsz <= 1000
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM kept a JOIN kept b
+              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -412,6 +456,26 @@ def minhash_lsh_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFr
     ).orderBy("doc_a", "doc_b")
 
 
+def verified_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates CONFIRMED by an exact string metric — the full
+    probabilistic-then-exact dedup loop (operators/dedup.py
+    verify_candidate_pairs): banded-minhash candidate pairs, then
+    Levenshtein similarity >= 0.5 on 500-char prefixes. Only the
+    byte-capped prefixes ride the pair join; the Levenshtein is JVM
+    codegen. Oracle = the shared minhash CTE chain + the identical
+    prefix-similarity filter (dedup.verify_oracle_sql)."""
+    from deidentify_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        verify_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, n=3, k=8, bands=4, max_bucket_size=1000)
+    return verify_candidate_pairs(
+        docs, pairs, prefix_len=500, min_sim=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
 def dedup_cc_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy-dedup CLUSTERS: transitive closure of the minhash-LSH
     candidate pairs via alternating large-star/small-star connected
@@ -627,6 +691,22 @@ def nb_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_calibration(scored, "is_en", "nb_score_r", n_bins=10).orderBy(
         "bin"
     )
+
+
+def kn_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity, trained AND scored in
+    the engine (operators/lm.py — the KenLM-standard smoothing CCNet
+    uses for its quality LM, vs lm_perplexity_documents' add-alpha
+    hashed twin): fit on docs with doc_id < 250, score every doc with
+    >= 1 bigram via three model-table equi-joins + one broadcast scalar
+    row. The DuckDB oracle replays the ENTIRE chain — counts,
+    discounting, continuation smoothing, OOV backoff — in SQL."""
+    from deidentify_spark.operators.lm import kn_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    return kn_perplexity(
+        docs, docs.where("doc_id < 250"), discount=0.75, round_to=4
+    ).orderBy("doc_id")
 
 
 def lm_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2103,15 +2183,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_supplier_volume_by_nation": q5_supplier_volume_by_nation,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_orders": q18_large_orders,
-        "corr_customers_above_nation_avg": corr_customers_above_nation_avg,
-        "semi_customers_with_open_orders": semi_customers_with_open_orders,
-        "anti_customers_without_orders": anti_customers_without_orders,
-        "rollup_orders_status_priority": rollup_orders_status_priority,
-        "window_top3_customers_per_nation": window_top3_customers_per_nation,
+        # ---- NEW round 6 (late session): the iterative-numerics and
+        # tokenizer families added after the first rotation — promoted
+        # so CORRECTNESS_r06 certifies them, displacing seven UNCHANGED
+        # relational queries officially green in CORRECTNESS_r05.json
+        # (corr, semi, anti, rollup, window_top3, setop_minus,
+        # union_by_name) to the tail.
+        "unigram_divergence_documents": unigram_divergence_documents,
+        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
+        "bpe_merges_documents": bpe_merges_documents,
+        "bpe_subwords_documents": bpe_subwords_documents,
+        "logreg_classifier_documents": logreg_classifier_documents,
+        "pca_top_component_embeddings": pca_top_component_embeddings,
+        "covariance_embeddings": covariance_embeddings,
         "bloom_membership_documents": bloom_membership_documents,
-        "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
         "distinct_counts_documents": distinct_counts_documents,
-        "union_by_name_documents": union_by_name_documents,
         "url_canonicalize_documents": url_canonicalize_documents,
         "normalize_text_documents": normalize_text_documents,
         "dedup_exact_documents": dedup_exact_documents,
@@ -2182,17 +2268,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_documents_counts": langid_documents_counts,
         "scrub_documents_digest": scrub_documents_digest,
         "pipeline_lineage_synthetic": pipeline_lineage_synthetic,
-        # ---- post-window session additions (tail by construction: the
-        # round-6 head was already fixed when these landed; they are
-        # value-checked by scripts/check_all_oracles.py now and rotate
-        # into the head next round)
-        "unigram_divergence_documents": unigram_divergence_documents,
-        "kmeans_clusters_embeddings": kmeans_clusters_embeddings,
-        "bpe_merges_documents": bpe_merges_documents,
-        "bpe_subwords_documents": bpe_subwords_documents,
-        "logreg_classifier_documents": logreg_classifier_documents,
-        "pca_top_component_embeddings": pca_top_component_embeddings,
-        "covariance_embeddings": covariance_embeddings,
+        # ---- displaced by the late-round-6 head promotion of the
+        # iterative-numerics/tokenizer family: all seven are UNCHANGED
+        # since their official green rows in CORRECTNESS_r05.json and
+        # remain value-checked by scripts/check_all_oracles.py.
+        "corr_customers_above_nation_avg": corr_customers_above_nation_avg,
+        "semi_customers_with_open_orders": semi_customers_with_open_orders,
+        "anti_customers_without_orders": anti_customers_without_orders,
+        "rollup_orders_status_priority": rollup_orders_status_priority,
+        "window_top3_customers_per_nation": window_top3_customers_per_nation,
+        "setop_high_value_minus_urgent": setop_high_value_minus_urgent,
+        "union_by_name_documents": union_by_name_documents,
+        # ---- post-promotion session additions (tail by construction;
+        # value-checked by scripts/check_all_oracles.py, rotate into
+        # the head next round)
+        "verified_near_dups_documents": verified_near_dups_documents,
+        "kn_perplexity_documents": kn_perplexity_documents,
     }
 
 
@@ -2965,46 +3056,14 @@ def oracle_sql() -> dict[str, str]:
             )
             ORDER BY doc_a, doc_b
         """,
-        "minhash_lsh_candidates_documents": """
-            WITH words AS (
-                SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\\s+') AS w
-                FROM documents
-            ), sh AS (
-                SELECT DISTINCT doc_id,
-                       unnest([w[i]||' '||w[i+1]||' '||w[i+2]
-                               for i in generate_series(1, len(w)-2)]) AS shingle
-                FROM words
-            ), mh AS (
-                SELECT doc_id,
-                       MIN(('0x'||substr(md5(shingle||':0'),1,15))::BIGINT) AS mh0,
-                       MIN(('0x'||substr(md5(shingle||':1'),1,15))::BIGINT) AS mh1,
-                       MIN(('0x'||substr(md5(shingle||':2'),1,15))::BIGINT) AS mh2,
-                       MIN(('0x'||substr(md5(shingle||':3'),1,15))::BIGINT) AS mh3,
-                       MIN(('0x'||substr(md5(shingle||':4'),1,15))::BIGINT) AS mh4,
-                       MIN(('0x'||substr(md5(shingle||':5'),1,15))::BIGINT) AS mh5,
-                       MIN(('0x'||substr(md5(shingle||':6'),1,15))::BIGINT) AS mh6,
-                       MIN(('0x'||substr(md5(shingle||':7'),1,15))::BIGINT) AS mh7
-                FROM sh GROUP BY doc_id
-            ), bands AS (
-                SELECT doc_id, 0 AS band, mh0::VARCHAR||'_'||mh1::VARCHAR AS sig FROM mh
-                UNION ALL
-                SELECT doc_id, 1, mh2::VARCHAR||'_'||mh3::VARCHAR FROM mh
-                UNION ALL
-                SELECT doc_id, 2, mh4::VARCHAR||'_'||mh5::VARCHAR FROM mh
-                UNION ALL
-                SELECT doc_id, 3, mh6::VARCHAR||'_'||mh7::VARCHAR FROM mh
-            ), kept AS (
-                -- degenerate-bucket cap (max_bucket_size=1000), as Spark
-                SELECT doc_id, band, sig,
-                       COUNT(*) OVER (PARTITION BY band, sig) AS bsz
-                FROM bands QUALIFY bsz <= 1000
-            )
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM kept a JOIN kept b
-              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-            ORDER BY doc_a, doc_b
-        """,
+        "minhash_lsh_candidates_documents": _MINHASH_CAND_SQL
+        + "\n            ORDER BY doc_a, doc_b",
+        "verified_near_dups_documents": __import__(
+            "deidentify_spark.operators.dedup", fromlist=["verify_oracle_sql"]
+        ).verify_oracle_sql(_MINHASH_CAND_SQL, "documents", 500, 0.5),
+        "kn_perplexity_documents": __import__(
+            "deidentify_spark.operators.lm", fromlist=["kn_oracle_sql"]
+        ).kn_oracle_sql("documents", "doc_id < 250", discount=0.75, round_to=4),
         # same pair CTEs as minhash_lsh_candidates_documents, then the
         # transitive closure as a recursive CTE: walk(node, lbl) holds
         # (n, c) iff c reaches n over symmetrized pair edges, so

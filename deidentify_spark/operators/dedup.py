@@ -431,6 +431,89 @@ def minhash_lsh_dropped_buckets(
     )
 
 
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    prefix_len: int = 500,
+    min_sim: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact edit-similarity VERIFICATION of near-dup candidate pairs —
+    the confirm stage that closes the probabilistic dedup loop (LSH
+    emits candidates with false positives by design; production dedup
+    passes — Gopher/MassiveText verify with an exact string metric
+    before dropping documents).
+
+    For each candidate (doc_a, doc_b), computes Levenshtein distance on
+    the first ``prefix_len`` characters of each document (the standard
+    bounded surrogate: edit distance is O(len^2) per pair, so the full
+    text of two 1 MB docs is never compared — a shared 500-char prefix
+    at >=0.8 similarity is decisive for boilerplate/near-dup text) and
+    keeps pairs with ``edit_sim = 1 - dist/max(len_a, len_b)`` >=
+    ``min_sim``. Two identical empty prefixes count as similarity 1.
+
+    Scale shape: document text NEVER rides the pair shuffle — only the
+    byte-capped prefix (<= prefix_len chars/doc) joins onto the pair
+    table, via a slim (id, prefix) projection shuffled ONCE per side.
+    Both joins are plain equi-joins (AQE broadcasts the pair side when
+    the candidate set is small, skew-splits otherwise), and the
+    Levenshtein itself is a JVM codegen expression — no Python in the
+    plan. Pair volume is whatever the upstream cap admitted
+    (minhash_lsh_candidates' max_bucket_size), so the quadratic unit
+    cost is bounded at prefix_len^2 per ADMITTED pair, never per
+    corpus-pair.
+    """
+    slim = df.select(
+        F.col(id_col),
+        F.substring(F.coalesce(F.col(text_col), F.lit("")), 1, prefix_len).alias(
+            "_pfx"
+        ),
+    )
+    a = slim.select(F.col(id_col).alias("doc_a"), F.col("_pfx").alias("_pa"))
+    b = slim.select(F.col(id_col).alias("doc_b"), F.col("_pfx").alias("_pb"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    max_len = F.greatest(F.length("_pa"), F.length("_pb"))
+    sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+        1.0 - F.levenshtein("_pa", "_pb") / max_len
+    )
+    return (
+        joined.withColumn("edit_sim", F.round(sim, 4))
+        .where(F.col("edit_sim") >= min_sim)
+        .select("doc_a", "doc_b", "edit_sim")
+    )
+
+
+def verify_oracle_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    prefix_len: int = 500,
+    min_sim: float = 0.8,
+) -> str:
+    """DuckDB twin of verify_candidate_pairs: wraps a candidate-pair
+    CTE body (must yield doc_a, doc_b) with the identical prefix
+    Levenshtein similarity filter."""
+    return f"""
+        WITH cand AS ({pairs_sql}),
+        pfx AS (
+            SELECT doc_id, substr(coalesce(text, ''), 1, {prefix_len}) AS p
+            FROM {table}
+        ), sim AS (
+            SELECT c.doc_a, c.doc_b,
+                   CASE WHEN greatest(length(a.p), length(b.p)) = 0 THEN 1.0
+                        ELSE ROUND(1.0 - levenshtein(a.p, b.p)
+                                   / greatest(length(a.p), length(b.p)), 4)
+                   END AS edit_sim
+            FROM cand c
+            JOIN pfx a ON c.doc_a = a.doc_id
+            JOIN pfx b ON c.doc_b = b.doc_id
+        )
+        SELECT doc_a, doc_b, edit_sim FROM sim
+        WHERE edit_sim >= {min_sim}
+        ORDER BY doc_a, doc_b
+    """
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,

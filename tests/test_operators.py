@@ -799,3 +799,42 @@ def test_hard_negatives_phase1_window_is_bucketed(embeddings):
     # two Window nodes: the first (inner, bucketed) partitions by _b
     assert "_b" in plan
     assert plan.count("row_number") >= 2
+
+
+def test_verify_candidate_pairs_confirms_and_rejects(spark):
+    from deidentify_spark.operators.dedup import verify_candidate_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content about spark plans"),
+            (4, ""),  # empty
+            (5, None),  # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.edit_sim
+        for r in verify_candidate_pairs(docs, cand, prefix_len=500, min_sim=0.5).collect()
+    }
+    assert (1, 2) in out and out[(1, 2)] > 0.9  # one-word edit confirmed
+    assert (1, 3) not in out  # unrelated candidate rejected
+    assert out[(4, 5)] == 1.0  # two empty prefixes: defined as identical
+
+
+def test_verify_candidate_pairs_prefix_cap(spark):
+    """Documents identical in the first prefix_len chars but divergent
+    after must verify at 1.0 — the bounded-surrogate contract."""
+    from deidentify_spark.operators.dedup import verify_candidate_pairs
+
+    head = "x" * 600
+    docs = spark.createDataFrame(
+        [(1, head + "AAAA"), (2, head + "BBBB")], "doc_id long, text string"
+    )
+    cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    row = verify_candidate_pairs(docs, cand, prefix_len=500).collect()[0]
+    assert row.edit_sim == 1.0
