@@ -693,6 +693,28 @@ def nb_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification-risk audit (operators/privacy.py): equivalence
+    classes of the (nation, segment) quasi-identifier pair over the
+    customer table, with distinct-l diversity of the bucketed account
+    balance as the sensitive attribute — the release-gate companion to
+    the scrub operators (k-anonymity, Sweeney 2002; l-diversity,
+    Machanavajjhala 2007). One map-side-combined groupBy; no window,
+    join, or driver collect."""
+    from deidentify_spark.operators.privacy import k_anonymity_classes
+
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / 1000)
+    )
+    return k_anonymity_classes(
+        cust,
+        ["c_nationkey", "c_mktsegment"],
+        k=8,
+        sensitive_col="bal_bucket",
+        l=4,
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
 def kn_perplexity_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram perplexity, trained AND scored in
     the engine (operators/lm.py — the KenLM-standard smoothing CCNet
@@ -2284,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the head next round)
         "verified_near_dups_documents": verified_near_dups_documents,
         "kn_perplexity_documents": kn_perplexity_documents,
+        "k_anonymity_customers": k_anonymity_customers,
     }
 
 
@@ -3064,6 +3087,16 @@ def oracle_sql() -> dict[str, str]:
         "kn_perplexity_documents": __import__(
             "deidentify_spark.operators.lm", fromlist=["kn_oracle_sql"]
         ).kn_oracle_sql("documents", "doc_id < 250", discount=0.75, round_to=4),
+        "k_anonymity_customers": __import__(
+            "deidentify_spark.operators.privacy",
+            fromlist=["k_anonymity_oracle_sql"],
+        ).k_anonymity_oracle_sql(
+            "customer",
+            ["c_nationkey", "c_mktsegment"],
+            8,
+            "floor(c_acctbal / 1000)",
+            4,
+        ),
         # same pair CTEs as minhash_lsh_candidates_documents, then the
         # transitive closure as a recursive CTE: walk(node, lbl) holds
         # (n, c) iff c reaches n over symmetrized pair edges, so
