@@ -693,6 +693,17 @@ def nb_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-card profile of the documents table (operators/profile.py):
+    per-column null counts, EXACT distinct cardinalities, numeric
+    ranges, and string-length shape — computed in ONE map-side-combined
+    aggregate pass over the scan (no join/window/collect), exploded
+    in-plan to one row per column."""
+    from deidentify_spark.operators.profile import profile_table
+
+    return profile_table(_t(spark, sf_dir, "documents")).orderBy("column")
+
+
 def k_anonymity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-identification-risk audit (operators/privacy.py): equivalence
     classes of the (nation, segment) quasi-identifier pair over the
@@ -2307,6 +2318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "verified_near_dups_documents": verified_near_dups_documents,
         "kn_perplexity_documents": kn_perplexity_documents,
         "k_anonymity_customers": k_anonymity_customers,
+        "profile_documents": profile_documents,
     }
 
 
@@ -3087,6 +3099,19 @@ def oracle_sql() -> dict[str, str]:
         "kn_perplexity_documents": __import__(
             "deidentify_spark.operators.lm", fromlist=["kn_oracle_sql"]
         ).kn_oracle_sql("documents", "doc_id < 250", discount=0.75, round_to=4),
+        "profile_documents": __import__(
+            "deidentify_spark.operators.profile",
+            fromlist=["profile_oracle_sql"],
+        ).profile_oracle_sql(
+            "documents",
+            [
+                ("doc_id", "num"),
+                ("text", "str"),
+                ("lang", "str"),
+                ("source", "str"),
+                ("n_chars", "num"),
+            ],
+        ),
         "k_anonymity_customers": __import__(
             "deidentify_spark.operators.privacy",
             fromlist=["k_anonymity_oracle_sql"],
