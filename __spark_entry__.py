@@ -693,6 +693,26 @@ def nb_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-curation delta (operators/diff.py): diff two
+    deterministically derived snapshots of the documents table (v1
+    drops id%11==0; v2 drops id%13==0 and edits id%7==0) — content
+    equality via map-side md5 digests, so text never rides the full
+    outer join; only added/removed/changed rows are returned. The
+    oracle replays the identical derivation and digest in SQL."""
+    from deidentify_spark.operators.diff import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.where(F.col("doc_id") % 11 != 0)
+    v2 = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(v1, v2, "doc_id", ["text"]).orderBy("doc_id")
+
+
 def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-card profile of the documents table (operators/profile.py):
     per-column null counts, EXACT distinct cardinalities, numeric
@@ -2319,6 +2339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_perplexity_documents": kn_perplexity_documents,
         "k_anonymity_customers": k_anonymity_customers,
         "profile_documents": profile_documents,
+        "snapshot_diff_documents": snapshot_diff_documents,
     }
 
 
@@ -3099,6 +3120,17 @@ def oracle_sql() -> dict[str, str]:
         "kn_perplexity_documents": __import__(
             "deidentify_spark.operators.lm", fromlist=["kn_oracle_sql"]
         ).kn_oracle_sql("documents", "doc_id < 250", discount=0.75, round_to=4),
+        "snapshot_diff_documents": __import__(
+            "deidentify_spark.operators.diff", fromlist=["diff_oracle_sql"]
+        ).diff_oracle_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0",
+            """SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0 THEN text || ' [rev2]'
+                           ELSE text END AS text
+               FROM documents WHERE doc_id % 13 <> 0""",
+            "doc_id",
+            ("text",),
+        ),
         "profile_documents": __import__(
             "deidentify_spark.operators.profile",
             fromlist=["profile_oracle_sql"],
