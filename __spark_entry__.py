@@ -917,6 +917,20 @@ def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-60 WEIGHTED sample without replacement, P proportional to
+    n_chars (Efraimidis-Spirakis via hash-seeded Gumbel top-k;
+    operators/curation.py sample_weighted_exact_k). Deterministic in
+    (seed, id, weight); TakeOrderedAndProject plan, no global sort. The
+    oracle replays the identical Gumbel keys in SQL."""
+    from deidentify_spark.operators.curation import sample_weighted_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_weighted_exact_k(docs, k=60, weight_col="n_chars", seed=7).select(
+        "doc_id", "n_chars"
+    )
+
+
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor (vec_id < 4), the top-5 corpus
     vectors with cosine in [0.1, 0.95) — informative-but-not-duplicate
@@ -2340,6 +2354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_customers": k_anonymity_customers,
         "profile_documents": profile_documents,
         "snapshot_diff_documents": snapshot_diff_documents,
+        "weighted_sample_documents": weighted_sample_documents,
     }
 
 
@@ -3509,6 +3524,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5('42:'||doc_id::VARCHAR), doc_id
             LIMIT 40
+        """,
+        # identical Gumbel key construction as dsir_selection's oracle
+        # (hash60 -> uniform -> -ln(-ln(u))), with logw = ln(n_chars)
+        "weighted_sample_documents": """
+            SELECT doc_id, n_chars
+            FROM documents
+            WHERE n_chars > 0
+            ORDER BY ln(n_chars)
+                     + (-ln(-ln(((('0x'||substr(md5('gumbel:7:'||doc_id::VARCHAR),1,15))::BIGINT
+                                  % 1099511627776) + 0.5) / 1099511627776.0)))
+                     DESC, doc_id
+            LIMIT 60
         """,
         # the twin is the rejected shuffle-heavy formulation: explode
         # every token, join the vocab, re-sort per doc — correct, and

@@ -513,6 +513,45 @@ def sample_exact_k(
     return df.orderBy(u.asc(), F.col(id_col)).limit(k)
 
 
+def sample_weighted_exact_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic EXACTLY-k WEIGHTED sample without replacement,
+    P(row drawn) proportional to ``weight_col`` — the
+    Efraimidis-Spirakis (2006) reservoir scheme, realized as Gumbel
+    top-k (the two are the same algorithm: ES keeps the k largest
+    u^(1/w), i.e. the k largest ln(u)/w = the k largest
+    ln(w) + Gumbel(0,1) draws): reuses ``dsir.gumbel_key`` with
+    logw = ln(weight), so the draw is a pure function of (seed, id,
+    weight) — replayable across retries, reruns, and cluster sizes,
+    and exactly reproducible by the SQL oracle.
+
+    Rows with weight <= 0 (or NULL) are excluded — they have zero
+    selection probability by definition.
+
+    Scale shape: same as ``sample_exact_k`` — orderBy+limit compiles
+    to TakeOrderedAndProject (size-k heap per partition + one k*P
+    merge), no global sort, driver memory O(k). Mixture sampling at
+    corpus scale (quality-weighted, length-weighted, temperature-
+    scaled domain weights) is this operator with the weight column
+    precomputed."""
+    from deidentify_spark.operators.dsir import gumbel_key
+
+    j = df.where(F.col(weight_col) > 0).withColumn(
+        "_logw", F.log(F.col(weight_col).cast("double"))
+    )
+    return (
+        j.withColumn("_wkey", gumbel_key(id_col, "_logw", seed))
+        .orderBy(F.desc("_wkey"), F.col(id_col))
+        .limit(k)
+        .drop("_logw", "_wkey")
+    )
+
+
 def domain_cap(
     df: DataFrame,
     max_per_group: int,

@@ -580,3 +580,27 @@ def test_chunk_text_giant_doc_linear(spark):
     # total chunk tokens: full windows except the tail remainder
     expect_tok = sum(min(128, n - s) for s in range(0, n, 96))
     assert agg.tok == expect_tok
+
+
+def test_sample_weighted_exact_k(spark):
+    from deidentify_spark.operators.curation import sample_weighted_exact_k
+
+    # 200 light rows (w=1) + 20 heavy rows (w=200): heavy rows should
+    # dominate a k=20 draw; zero/NULL-weight rows must never appear.
+    rows = [(i, 1.0) for i in range(200)]
+    rows += [(1000 + i, 200.0) for i in range(20)]
+    rows += [(2000, 0.0), (2001, None)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = sample_weighted_exact_k(df, k=20, weight_col="w", seed=3)
+    got = [r.doc_id for r in out.collect()]
+    assert len(got) == 20 and len(set(got)) == 20
+    assert 2000 not in got and 2001 not in got
+    heavy = sum(1 for d in got if d >= 1000)
+    # heavy rows carry 200*20 = 4000 of 4200 total weight -> expect ~19
+    assert heavy >= 15, got
+    # deterministic replay
+    again = [r.doc_id for r in sample_weighted_exact_k(df, k=20, weight_col="w", seed=3).collect()]
+    assert set(again) == set(got)
+    # a different seed draws a different set (overwhelmingly likely)
+    other = [r.doc_id for r in sample_weighted_exact_k(df, k=20, weight_col="w", seed=4).collect()]
+    assert set(other) != set(got)
