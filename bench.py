@@ -99,6 +99,14 @@ BENCH_QUERIES = [
     "kmeans_clusters_embeddings",
     "bpe_subwords_documents",
     "logreg_classifier_documents",
+    "pca_top_component_embeddings",
+    "covariance_embeddings",
+    "verified_near_dups_documents",
+    "kn_perplexity_documents",
+    "k_anonymity_customers",
+    "profile_documents",
+    "snapshot_diff_documents",
+    "weighted_sample_documents",
     "scrub_documents",
 ]
 
