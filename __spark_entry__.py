@@ -917,6 +917,27 @@ def exact_k_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def group_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-DISJOINT train/test split
+    (operators/curation.py group_disjoint_split): every document of a
+    host lands in the same split — assignment is a pure map-side
+    function of (seed, host), zero shuffles before the verification
+    rollup. Hosts derived deterministically (doc_id % 37) so both
+    engines see the identical grouping; output (host, split, n_docs)
+    proves disjointness — one row per host."""
+    from deidentify_spark.operators.curation import group_disjoint_split
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "host", F.concat(F.lit("h"), (F.col("doc_id") % 37).cast("string"))
+    )
+    return (
+        group_disjoint_split(docs, "host", test_frac=0.25, seed=5)
+        .groupBy("host", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("host", "split")
+    )
+
+
 def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-60 WEIGHTED sample without replacement, P proportional to
     n_chars (Efraimidis-Spirakis via hash-seeded Gumbel top-k;
@@ -2355,6 +2376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_documents": profile_documents,
         "snapshot_diff_documents": snapshot_diff_documents,
         "weighted_sample_documents": weighted_sample_documents,
+        "group_split_documents": group_split_documents,
     }
 
 
@@ -3524,6 +3546,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY md5('42:'||doc_id::VARCHAR), doc_id
             LIMIT 40
+        """,
+        "group_split_documents": """
+            WITH d AS (
+                SELECT 'h' || (doc_id % 37)::VARCHAR AS host FROM documents
+            ), s AS (
+                SELECT host,
+                       CASE WHEN ((('0x'||substr(md5('split:5:'||host),1,15))::BIGINT
+                                   % 1099511627776) + 0.5) / 1099511627776.0 < 0.25
+                            THEN 'test' ELSE 'train' END AS split
+                FROM d
+            )
+            SELECT host, split, COUNT(*) AS n_docs
+            FROM s GROUP BY host, split
+            ORDER BY host, split
         """,
         # identical Gumbel key construction as dsir_selection's oracle
         # (hash60 -> uniform -> -ln(-ln(u))), with logw = ln(n_chars)

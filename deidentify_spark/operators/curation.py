@@ -552,6 +552,50 @@ def sample_weighted_exact_k(
     )
 
 
+def group_disjoint_split(
+    df: DataFrame,
+    group_col: str,
+    test_frac: float = 0.1,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/test split: every row of a GROUP (host,
+    domain, author, near-dup cluster id...) lands in the SAME split —
+    the contamination rule row-level random splits violate (two
+    near-identical pages from one host in train and eval inflate eval
+    scores; the group key is whatever unit leakage travels through).
+
+    Assignment is a pure function of (seed, group): u = hash-uniform
+    of md5("split:{seed}:" || group), test iff u < test_frac — so the
+    split is reproducible across reruns/cluster sizes and INCREMENTAL:
+    a new snapshot's rows join the split their group already had,
+    without reading the old assignment.
+
+    Scale shape: one map-side expression, zero shuffles, zero joins —
+    the split column is computed row-local from the group value
+    (deliberately NOT a groupBy: materializing the group table first
+    would cost a shuffle and add nothing, since equal group values
+    hash equally everywhere). Expected test mass is test_frac of
+    GROUPS, not rows — a dominant group swings row fractions, which is
+    inherent to group-disjointness, not a defect."""
+    from deidentify_spark.operators.dedup import _hash60
+
+    u = (
+        F.pmod(
+            _hash60(
+                F.concat(
+                    F.lit(f"split:{seed}:"), F.col(group_col).cast("string")
+                )
+            ),
+            F.lit(1 << 40),
+        )
+        + F.lit(0.5)
+    ) / F.lit(float(1 << 40))
+    return df.withColumn(
+        split_col, F.when(u < test_frac, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def domain_cap(
     df: DataFrame,
     max_per_group: int,

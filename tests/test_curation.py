@@ -604,3 +604,32 @@ def test_sample_weighted_exact_k(spark):
     # a different seed draws a different set (overwhelmingly likely)
     other = [r.doc_id for r in sample_weighted_exact_k(df, k=20, weight_col="w", seed=4).collect()]
     assert set(other) != set(got)
+
+
+def test_group_disjoint_split(spark):
+    from deidentify_spark.operators.curation import group_disjoint_split
+
+    rows = [(i, f"host{i % 20}") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    out = group_disjoint_split(df, "host", test_frac=0.3, seed=1)
+    # disjoint: every host maps to exactly one split
+    per_host = out.groupBy("host").agg(
+        F.count_distinct("split").alias("k")
+    ).collect()
+    assert all(r.k == 1 for r in per_host)
+    splits = {r.host: r.split for r in out.select("host", "split").distinct().collect()}
+    assert set(splits.values()) == {"train", "test"}  # both sides non-empty
+    # deterministic replay + incremental consistency: a new row of an
+    # existing host joins that host's split
+    one = group_disjoint_split(
+        spark.createDataFrame([(999, "host3")], "doc_id long, host string"),
+        "host", test_frac=0.3, seed=1,
+    ).collect()[0]
+    assert one.split == splits["host3"]
+    # seed changes the draw
+    other = {
+        r.host: r.split
+        for r in group_disjoint_split(df, "host", test_frac=0.3, seed=2)
+        .select("host", "split").distinct().collect()
+    }
+    assert other != splits
