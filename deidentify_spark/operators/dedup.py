@@ -463,6 +463,23 @@ def verify_candidate_pairs(
     (minhash_lsh_candidates' max_bucket_size), so the quadratic unit
     cost is bounded at prefix_len^2 per ADMITTED pair, never per
     corpus-pair.
+
+    Per-pair cost is further cut when ``min_sim > 0`` (the production
+    setting — 20k templated pages emit 1.6M LSH candidates, so the
+    constant factor IS the stage cost):
+
+    * length pre-gate: ``dist >= |len_a - len_b|`` always, so a pair
+      whose length gap alone already puts ``1 - gap/max_len`` below
+      ``min_sim`` is rejected by an O(1) CASE branch — the Levenshtein
+      expression is never evaluated (codegen short-circuits WHEN arms);
+    * banded Levenshtein: surviving pairs use Spark's thresholded
+      ``levenshtein(a, b, t)`` with ``t = floor((1-min_sim) *
+      prefix_len)`` — any true distance above the largest possibly-
+      acceptable one returns -1 in O(len * t) instead of O(len^2)
+      (at min_sim=0.8 that's a 5x band). Kept rows always carry the
+      EXACT distance (dist <= t is returned exactly), so the emitted
+      ``edit_sim`` values — and the DuckDB oracle twin, which runs the
+      unbanded form — are unchanged.
     """
     slim = df.select(
         F.col(id_col),
@@ -473,10 +490,31 @@ def verify_candidate_pairs(
     a = slim.select(F.col(id_col).alias("doc_a"), F.col("_pfx").alias("_pa"))
     b = slim.select(F.col(id_col).alias("doc_b"), F.col("_pfx").alias("_pb"))
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
-    max_len = F.greatest(F.length("_pa"), F.length("_pb"))
-    sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein("_pa", "_pb") / max_len
-    )
+    len_a, len_b = F.length("_pa"), F.length("_pb")
+    max_len = F.greatest(len_a, len_b)
+    len_gap = F.abs(len_a - len_b)
+    if min_sim > 0.0:
+        # Largest distance any row could accept: allowed = (1-min_sim) *
+        # max_len <= (1-min_sim) * prefix_len. Distances above the band
+        # return -1 => provably below min_sim => reject.
+        # +1 / -1e-4 slack: the emitted sim is ROUNDED to 4 places before
+        # the >= min_sim filter, so a true sim up to 5e-5 below min_sim
+        # can round up into the kept set — both prune bounds leave room
+        # for it rather than racing the rounding boundary.
+        band = int((1.0 - min_sim + 1e-4) * prefix_len) + 1
+        dist = F.levenshtein("_pa", "_pb", band)
+        sim = (
+            F.when(max_len == 0, F.lit(1.0))
+            # length gap alone caps sim below min_sim: reject w/o edit dist
+            .when(1.0 - len_gap / max_len < min_sim - 1e-4, F.lit(-1.0))
+            .otherwise(
+                F.when(dist < 0, F.lit(-1.0)).otherwise(1.0 - dist / max_len)
+            )
+        )
+    else:
+        sim = F.when(max_len == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein("_pa", "_pb") / max_len
+        )
     return (
         joined.withColumn("edit_sim", F.round(sim, 4))
         .where(F.col("edit_sim") >= min_sim)
