@@ -952,6 +952,36 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information (Church &
+    Hanks 1990; operators/vocab.py pmi_collocations) — the phrase-
+    mining / boilerplate-phrase corpus-QA signal. Two map-side-combined
+    groupBys, vocabulary-sized c1/c2 equi-joins, 1-row broadcast
+    totals, TakeOrdered top-k; ranking on the ROUNDED pmi so ties are
+    engine-stable."""
+    from deidentify_spark.operators.vocab import pmi_collocations
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), min_count=5, k=50
+    )
+
+
+def fuzzy_name_matches_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance<=2 self-join on part names via PassJoin
+    segment-signature blocking (Li et al. VLDB 2011;
+    operators/fuzzy.py) — entity resolution WITHOUT the all-pairs theta
+    join. Lossless blocking: one bounded array explode per side, hash
+    equi-join on (segment_idx, length, segment), banded-Levenshtein
+    verify; output provably equals the textbook theta join the oracle
+    runs."""
+    from deidentify_spark.operators.fuzzy import fuzzy_self_join
+
+    part = _t(spark, sf_dir, "part")
+    return fuzzy_self_join(
+        part, 2, col="p_name", id_col="p_partkey"
+    ).orderBy("id_a", "id_b")
+
+
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor (vec_id < 4), the top-5 corpus
     vectors with cosine in [0.1, 0.95) — informative-but-not-duplicate
@@ -2377,6 +2407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff_documents": snapshot_diff_documents,
         "weighted_sample_documents": weighted_sample_documents,
         "group_split_documents": group_split_documents,
+        "pmi_collocations_documents": pmi_collocations_documents,
+        "fuzzy_name_matches_part": fuzzy_name_matches_part,
     }
 
 
@@ -3573,6 +3605,18 @@ def oracle_sql() -> dict[str, str]:
                      DESC, doc_id
             LIMIT 60
         """,
+        "pmi_collocations_documents": __import__(
+            "deidentify_spark.operators.vocab",
+            fromlist=["PMI_COLLOCATIONS_SQL"],
+        ).PMI_COLLOCATIONS_SQL.format(
+            table="documents", text_col="text", min_count=5, k=50
+        ),
+        # the textbook all-pairs theta join the segment scheme provably
+        # equals (lossless blocking)
+        "fuzzy_name_matches_part": __import__(
+            "deidentify_spark.operators.fuzzy",
+            fromlist=["fuzzy_join_oracle_sql"],
+        ).fuzzy_join_oracle_sql("part", 2, "p_name", "p_partkey"),
         # the twin is the rejected shuffle-heavy formulation: explode
         # every token, join the vocab, re-sort per doc — correct, and
         # exactly what the map-side dict UDF avoids

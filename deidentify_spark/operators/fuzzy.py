@@ -1,0 +1,238 @@
+"""Exact edit-distance (fuzzy) string join — segment-signature blocking
+(PassJoin, Li/Deng/Feng VLDB 2011) + banded-Levenshtein verification.
+
+Entity resolution over dirty metadata (product names, author strings,
+venue titles) needs "join rows whose strings are within edit distance
+d" WITHOUT the all-pairs theta join. The reference library has no such
+surface (deidentify.go is a PII scrubber); this extends §2.G's
+record-linkage toolkit next to the interval/as-of joins in
+operators/joins.py.
+
+Algorithm (pigeonhole): partition each INDEX-side string t into d+1
+contiguous segments. If ed(s, t) <= d, the <= d edits touch at most d
+segments, so at least one segment of t appears in s EXACTLY, shifted by
+at most d positions (each insertion/deletion before it moves it by 1).
+So:
+
+* index side emits d+1 rows per string: key (i, len(t), segment_i);
+* probe side emits, per string s of length m, every substring that
+  could be segment i of a length-l string for l in [m-d, m+d]:
+  key (i, l, substr(s, p, len_i)) for p in [start_i - d, start_i + d]
+  (clamped) — a BOUNDED array of at most (2d+1)(d+1)(2d+1) keys;
+* candidates = one hash equi-join on (i, l, seg) → distinct id pairs →
+  banded ``levenshtein(a, b, d)`` verification over a slim (id, s)
+  projection (threshold form: O(len·d) per pair, -1 => reject).
+
+Strings shorter than d+1 characters cannot host d+1 non-empty segments;
+they go to a SHORT block keyed (i=-1, len(t), '') that probe strings of
+length <= len(t)+d also emit — still a column equi-join (never a
+cartesian; the registry-wide plan lint applies).
+
+The blocking is LOSSLESS — output is exactly the theta-join result —
+so the DuckDB oracle twin is the textbook all-pairs formulation.
+
+Scale posture
+-------------
+* no cartesian, no window, no driver action; candidate emission is a
+  map-side bounded array explode on both sides;
+* the ONE skew hazard is a hot segment key (a shared template prefix —
+  every "Customer#0..." row indexing the same 6-gram). That is data
+  redundancy the verification must pay for SOMEWHERE (those pairs
+  really are within distance d of each other when the tails agree);
+  when they are NOT wanted, pass ``max_bucket_size`` to drop index
+  keys whose bucket exceeds the cap (candidate recall loss is the
+  caller's explicit contract, mirroring minhash_lsh_candidates'
+  bucket cap), or pre-block on an exact key (host, brand) upstream;
+* per-admitted-pair verify cost is O(len·d) via the banded Levenshtein
+  (same primitive as dedup.verify_candidate_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["fuzzy_join", "fuzzy_self_join", "fuzzy_join_oracle_sql"]
+
+
+def _seg_start(i, length_col, d: int):
+    """Start offset (0-based) of segment ``i`` in the even partition of
+    a length-``length_col`` string into d+1 segments, longer segments
+    last: first (d+1-rem) segments have floor(l/(d+1)) chars."""
+    base = F.floor(length_col / (d + 1)).cast("int")
+    rem = (length_col % (d + 1)).cast("int")
+    return (i * base + F.greatest(F.lit(0), i - ((d + 1) - rem))).cast("int")
+
+
+def _seg_len(i, length_col, d: int):
+    base = F.floor(length_col / (d + 1)).cast("int")
+    rem = (length_col % (d + 1)).cast("int")
+    return (base + F.when(i >= (d + 1) - rem, 1).otherwise(0)).cast("int")
+
+
+_KEY_T = "array<struct<i:int,l:int,seg:string>>"
+
+
+def _index_keys(s, d: int):
+    """Index-side keys: the d+1 (i, l, segment) rows, or the short-block
+    key when the string is too short to partition."""
+    l = F.length(s)
+    segs = F.transform(
+        F.sequence(F.lit(0), F.lit(d)),
+        lambda i: F.struct(
+            i.cast("int").alias("i"),
+            l.cast("int").alias("l"),
+            s.substr(_seg_start(i, l, d) + 1, _seg_len(i, l, d)).alias("seg"),
+        ),
+    )
+    short = F.array(
+        F.struct(
+            F.lit(-1).cast("int").alias("i"),
+            l.cast("int").alias("l"),
+            F.lit("").alias("seg"),
+        )
+    )
+    return F.when(l >= d + 1, segs).otherwise(short).cast(_KEY_T)
+
+
+def _probe_keys(s, d: int):
+    """Probe-side keys: every substring of ``s`` that could be an exact
+    segment of a within-distance-d index string, plus the short-block
+    keys for index lengths <= d the probe could still reach."""
+    m = F.length(s)
+    lo_l = F.greatest(m - d, F.lit(d + 1))
+
+    def keys_for_length(l):
+        def keys_for_seg(i):
+            start = _seg_start(i, l, d)
+            ln = _seg_len(i, l, d)
+            p_lo = F.greatest(F.lit(0), start - d)
+            p_hi = F.least(m - ln, start + d)
+            return F.when(
+                p_lo <= p_hi,
+                F.transform(
+                    F.sequence(p_lo, p_hi),
+                    lambda p: F.struct(
+                        i.cast("int").alias("i"),
+                        l.cast("int").alias("l"),
+                        s.substr(p + 1, ln).alias("seg"),
+                    ),
+                ),
+            ).otherwise(F.array().cast(_KEY_T))
+
+        return F.flatten(
+            F.transform(F.sequence(F.lit(0), F.lit(d)), keys_for_seg)
+        )
+
+    long_keys = F.when(
+        m + d >= d + 1,  # sequence(lo, hi) must not run backwards
+        F.flatten(F.transform(F.sequence(lo_l, m + d), keys_for_length)),
+    ).otherwise(F.array().cast(_KEY_T))
+    # short-block: index strings of length l <= d are reachable iff
+    # ed >= |m - l| allows it, i.e. l >= m - d
+    short_keys = F.when(
+        m <= 2 * d,
+        F.transform(
+            F.sequence(F.greatest(m - d, F.lit(0)), F.lit(d)),
+            lambda l: F.struct(
+                F.lit(-1).cast("int").alias("i"),
+                l.cast("int").alias("l"),
+                F.lit("").alias("seg"),
+            ),
+        ),
+    ).otherwise(F.array().cast(_KEY_T))
+    return F.concat(long_keys, short_keys)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist: int,
+    left_col: str = "name",
+    right_col: str = "name",
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """All (id_a, id_b, dist) with ``levenshtein(left_col, right_col)
+    <= max_dist``. NULL strings compare as ''. Exact (lossless
+    blocking) unless ``max_bucket_size`` drops hot index keys."""
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    d = max_dist
+    ls = left.select(
+        F.col(left_id).alias("id_a"),
+        F.coalesce(F.col(left_col), F.lit("")).alias("_sa"),
+    )
+    rs = right.select(
+        F.col(right_id).alias("id_b"),
+        F.coalesce(F.col(right_col), F.lit("")).alias("_sb"),
+    )
+    probe = ls.select(
+        "id_a", F.explode(_probe_keys(F.col("_sa"), d)).alias("_k")
+    ).select("id_a", "_k.i", "_k.l", "_k.seg")
+    index = rs.select(
+        "id_b", F.explode(_index_keys(F.col("_sb"), d)).alias("_k")
+    ).select("id_b", "_k.i", "_k.l", "_k.seg")
+    if max_bucket_size is not None:
+        sizes = index.groupBy("i", "l", "seg").agg(F.count("*").alias("_n"))
+        index = index.join(
+            sizes.where(F.col("_n") <= max_bucket_size).drop("_n"),
+            ["i", "l", "seg"],
+        )
+    cand = (
+        probe.join(index, ["i", "l", "seg"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dist = F.levenshtein("_sa", "_sb", d) if d > 0 else F.when(
+        F.col("_sa") == F.col("_sb"), F.lit(0)
+    ).otherwise(F.lit(-1))
+    return (
+        cand.join(ls, "id_a")
+        .join(rs, "id_b")
+        .withColumn("dist", dist)
+        .where(F.col("dist") >= 0)
+        .select("id_a", "id_b", "dist")
+    )
+
+
+def fuzzy_self_join(
+    df: DataFrame,
+    max_dist: int,
+    col: str = "name",
+    id_col: str = "id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Within-table fuzzy matches, each unordered pair once
+    (id_a < id_b, so ids must be orderable)."""
+    out = fuzzy_join(
+        df.select(F.col(id_col).alias("id_a"), F.col(col)),
+        df.select(F.col(id_col).alias("id_b"), F.col(col)),
+        max_dist,
+        left_col=col,
+        right_col=col,
+        left_id="id_a",
+        right_id="id_b",
+        max_bucket_size=max_bucket_size,
+    )
+    return out.where(F.col("id_a") < F.col("id_b"))
+
+
+def fuzzy_join_oracle_sql(
+    table: str,
+    max_dist: int,
+    col: str = "name",
+    id_col: str = "id",
+) -> str:
+    """DuckDB twin: the TEXTBOOK all-pairs theta join the segment scheme
+    provably equals (the blocking is lossless)."""
+    return f"""
+        SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+               levenshtein(coalesce(a.{col}, ''),
+                           coalesce(b.{col}, '')) AS dist
+        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+        WHERE levenshtein(coalesce(a.{col}, ''),
+                          coalesce(b.{col}, '')) <= {max_dist}
+        ORDER BY id_a, id_b
+    """

@@ -305,3 +305,125 @@ def encode_token_ids(
         return texts.map(one)
 
     return docs.withColumn("token_ids", encode(F.col(text_col)))
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — phrase
+    mining over the corpus (Church & Hanks 1990): the multiword-unit /
+    boilerplate-phrase signal a tokenizer-vocab or corpus-QA pass reads
+    (high-PMI pairs are candidate merge units; templated boilerplate
+    shows up as implausibly high PMI at high count).
+
+      pmi(w1,w2) = ln( (c12/B) / ((c1/U) * (c2/U)) )
+
+    with c12 the adjacent-pair count (per-document bigrams, no
+    cross-document pair), c the unigram counts, B/U the total bigram/
+    unigram token counts. ``min_count`` suppresses the low-count PMI
+    pathology (a hapax pair maxes the statistic). Output
+    (w1, w2, n, pmi, rank), ordered by ROUNDED pmi desc then (w1, w2)
+    so ranking ties are engine-stable.
+
+    Scale shape: two map-side-combined groupBys over the exploded
+    streams (hot pairs/terms collapse in the combiner), vocabulary-
+    sized equi-joins for c1/c2 (AQE broadcasts when small), totals as
+    1-row broadcast crossJoins, TakeOrdered top-k; the rank window runs
+    over the already-limited k rows. The word array sits behind a
+    Generate barrier so element_at gathers read an attribute (the
+    no-CSE-in-HOF hazard lm_train_tables documents).
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    bar = docs.select(
+        F.explode(F.array(F.struct(toks.alias("_w")))).alias("_s")
+    ).select(F.col("_s._w").alias("_w"))
+    n = F.size("_w")
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                F.element_at(F.col("_w"), i + 1).alias("w1"),
+                F.element_at(F.col("_w"), i + 2).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = (
+        bar.select(F.explode(pairs).alias("_p"))
+        .select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+    )
+    uni = (
+        bar.select(F.explode("_w").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    b_tot = big.agg(F.sum("n").alias("b_tot"))
+    u_tot = uni.agg(F.sum("c").alias("u_tot"))
+    ca = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    cb = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    pmi = F.log(
+        (F.col("n") * 1.0 / F.col("b_tot"))
+        / ((F.col("c1") * 1.0 / F.col("u_tot")) * (F.col("c2") * 1.0 / F.col("u_tot")))
+    )
+    top = (
+        big.where(F.col("n") >= min_count)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .crossJoin(F.broadcast(b_tot))
+        .crossJoin(F.broadcast(u_tot))
+        .select("w1", "w2", "n", F.round(pmi, 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.select(
+        "w1", "w2", "n", "pmi", F.row_number().over(w).alias("rank")
+    )
+
+
+PMI_COLLOCATIONS_SQL = """
+    WITH toks AS (
+        SELECT list_filter(string_split({text_col}, ' '), x -> x <> '') AS w
+        FROM {table}
+    ),
+    bigrams AS (
+        SELECT unnest([w[i]||' '||w[i+1]
+                       for i in generate_series(1, len(w)-1)]) AS bg
+        FROM toks
+    ),
+    big AS (
+        SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+               COUNT(*) AS n
+        FROM bigrams GROUP BY 1, 2
+    ),
+    uc AS (
+        SELECT term, COUNT(*) AS c
+        FROM (SELECT unnest(w) AS term FROM toks) GROUP BY term
+    ),
+    tot AS (
+        SELECT (SELECT SUM(n) FROM big) AS b_tot,
+               (SELECT SUM(c) FROM uc) AS u_tot
+    ),
+    scored AS (
+        SELECT big.w1, big.w2, big.n,
+               ROUND(LN((big.n * 1.0 / tot.b_tot)
+                        / ((a.c * 1.0 / tot.u_tot)
+                           * (b.c * 1.0 / tot.u_tot))), 4) AS pmi
+        FROM big
+        JOIN uc a ON big.w1 = a.term
+        JOIN uc b ON big.w2 = b.term
+        CROSS JOIN tot
+        WHERE big.n >= {min_count}
+    )
+    SELECT w1, w2, n, pmi,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS INT) AS rank
+    FROM scored
+    ORDER BY pmi DESC, w1, w2
+    LIMIT {k}
+"""
