@@ -982,6 +982,41 @@ def fuzzy_name_matches_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def text_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy + type-token ratio
+    (functions/text_stats.redundancy_signals) — the low-entropy
+    keyword-stuffing / templated-page quality signal. ONE map-only
+    Arrow pass, no shuffle; the oracle recomputes both from exact
+    integer counts."""
+    from deidentify_spark.functions.text_stats import redundancy_signals
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_sig", redundancy_signals("text")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.col("_sig.token_entropy"), 6).alias("token_entropy"),
+        F.round(F.col("_sig.distinct_ratio"), 6).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+def compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib(6) compression ratio — the Dolma/RedPajama
+    repetitive-boilerplate gate (functions/text_stats.
+    redundancy_signals; same single Arrow pass as the entropy signal).
+    Not SQL-expressible (no zlib in DuckDB): frozen-golden oracle,
+    determinism asserted at fixture generation."""
+    from deidentify_spark.functions.text_stats import redundancy_signals
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_sig", redundancy_signals("text")
+    )
+    return docs.select(
+        "doc_id",
+        F.round(F.col("_sig.compression_ratio"), 6).alias("compression_ratio"),
+    ).orderBy("doc_id")
+
+
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor (vec_id < 4), the top-5 corpus
     vectors with cosine in [0.1, 0.95) — informative-but-not-duplicate
@@ -2409,6 +2444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_split_documents": group_split_documents,
         "pmi_collocations_documents": pmi_collocations_documents,
         "fuzzy_name_matches_part": fuzzy_name_matches_part,
+        "text_entropy_documents": text_entropy_documents,
+        "compression_ratio_documents": compression_ratio_documents,
     }
 
 
@@ -3617,6 +3654,18 @@ def oracle_sql() -> dict[str, str]:
             "deidentify_spark.operators.fuzzy",
             fromlist=["fuzzy_join_oracle_sql"],
         ).fuzzy_join_oracle_sql("part", 2, "p_name", "p_partkey"),
+        "text_entropy_documents": __import__(
+            "deidentify_spark.functions.text_stats",
+            fromlist=["REDUNDANCY_ENTROPY_SQL"],
+        ).REDUNDANCY_ENTROPY_SQL.format(
+            table="documents", id_col="doc_id", text_col="text"
+        ),
+        # zlib isn't expressible in DuckDB: frozen golden, determinism
+        # asserted at generation (scripts convention)
+        "compression_ratio_documents": _golden_values_sql(
+            "compression_ratio_golden.json",
+            [("doc_id", "BIGINT"), ("compression_ratio", "DOUBLE")],
+        ),
         # the twin is the rejected shuffle-heavy formulation: explode
         # every token, join the vocab, re-sort per doc — correct, and
         # exactly what the map-side dict UDF avoids

@@ -128,3 +128,92 @@ def winnowing_oracle_sql(table: str = "documents", k: int = 5, window: int = 4) 
             WHERE pos <= n - {window} + 1 OR (n <= {window} AND pos = 1)
             ORDER BY doc_id, fingerprint
     """
+
+
+def redundancy_signals(text_col: str = "text"):
+    """ONE-Arrow-pass per-document redundancy/quality signals as a
+    struct column (entropy, distinct_ratio, compression_ratio) — the
+    repetitive-boilerplate detectors production corpus filters run
+    (Dolma/RedPajama gate on zlib/gzip compression ratio; low unigram
+    entropy at normal length flags keyword-stuffed or templated pages):
+
+      token_entropy     Shannon entropy (nats) of the doc's whitespace
+                        unigram distribution, ln(n) - sum(c*ln(c))/n
+      distinct_ratio    distinct terms / total terms (type-token ratio)
+      compression_ratio zlib(level 6) bytes / utf-8 bytes — LOW means
+                        highly repetitive text
+
+    Empty/NULL docs yield NULL signals. Map-only (no shuffle, no join):
+    the whole struct computes in one vectorized batch; at 100 TB this
+    rides the same narrow scan->project stage as the other text gates.
+    Tokenization is the single-space split shared with vocab.py /
+    VOCAB_TOPK_SQL so the entropy oracle twin is engine-exact from
+    integer counts (float rounding argued at round-6 dp as for
+    unigram_divergence).
+    """
+    import math
+    import zlib
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    out_t = StructType(
+        [
+            StructField("token_entropy", DoubleType()),
+            StructField("distinct_ratio", DoubleType()),
+            StructField("compression_ratio", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def signals(texts: pd.Series) -> pd.DataFrame:
+        ent, dr, cr = [], [], []
+        for t in texts:
+            if t is None or t == "":
+                ent.append(None), dr.append(None), cr.append(None)
+                continue
+            toks = [w for w in t.split(" ") if w]
+            if not toks:
+                ent.append(None), dr.append(None)
+            else:
+                counts: dict[str, int] = {}
+                for w in toks:
+                    counts[w] = counts.get(w, 0) + 1
+                n = len(toks)
+                # sorted iteration: deterministic float-sum order
+                s = sum(c * math.log(c) for _, c in sorted(counts.items()))
+                ent.append(math.log(n) - s / n)
+                dr.append(len(counts) / n)
+            raw = t.encode("utf-8")
+            cr.append(len(zlib.compress(raw, 6)) / len(raw))
+        return pd.DataFrame(
+            {
+                "token_entropy": ent,
+                "distinct_ratio": dr,
+                "compression_ratio": cr,
+            }
+        )
+
+    return signals(F.col(text_col))
+
+
+REDUNDANCY_ENTROPY_SQL = """
+    WITH tc AS (
+        SELECT {id_col}, term, COUNT(*) AS c
+        FROM (
+            SELECT {id_col},
+                   unnest(list_filter(string_split({text_col}, ' '),
+                                      x -> x <> '')) AS term
+            FROM {table}
+        ) GROUP BY {id_col}, term
+    ),
+    ag AS (
+        SELECT {id_col}, SUM(c) AS n, SUM(c * LN(c)) AS s,
+               COUNT(*) AS d
+        FROM tc GROUP BY {id_col}
+    )
+    SELECT t.{id_col},
+           ROUND(LN(ag.n) - ag.s / ag.n, 6) AS token_entropy,
+           ROUND(ag.d * 1.0 / ag.n, 6) AS distinct_ratio
+    FROM {table} t LEFT JOIN ag ON t.{id_col} = ag.{id_col}
+    ORDER BY t.{id_col}
+"""

@@ -1,6 +1,7 @@
 """Calibration tests for the filter-stage models (no Spark needed)."""
 
 import numpy as np
+import pytest
 
 from deidentify_spark.functions.langid import predict_batch
 from deidentify_spark.functions.perplexity import perplexity
@@ -310,3 +311,43 @@ def test_lm_train_tables_multi_doc_no_cross_doc_bigrams(spark):
     u2, b2 = lm_train_tables(joined)
     assert np.array_equal(u1, u2)          # unigrams agree
     assert b1.sum() == 2 and b2.sum() == 3  # no cross-doc bigram counted
+
+
+def test_redundancy_signals_closed_form(spark):
+    import math
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from deidentify_spark.functions.text_stats import redundancy_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b"),          # entropy of {a:2, b:1}
+            (2, "x x x x"),        # zero entropy (single type)
+            (3, ""),               # empty -> all NULL
+            (4, None),             # NULL -> all NULL
+            (5, "   "),            # whitespace only -> no tokens
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in docs.withColumn("s", redundancy_signals("text"))
+        .select("doc_id", "s.*")
+        .collect()
+    }
+    want1 = math.log(3) - (2 * math.log(2)) / 3
+    assert rows[1].token_entropy == pytest.approx(want1, abs=1e-12)
+    assert rows[1].distinct_ratio == pytest.approx(2 / 3, abs=1e-12)
+    raw = b"a a b"
+    assert rows[1].compression_ratio == pytest.approx(
+        len(zlib.compress(raw, 6)) / len(raw), abs=1e-12
+    )
+    assert rows[2].token_entropy == pytest.approx(0.0, abs=1e-12)
+    assert rows[2].distinct_ratio == pytest.approx(0.25, abs=1e-12)
+    assert rows[3].token_entropy is None and rows[3].compression_ratio is None
+    assert rows[4].token_entropy is None and rows[4].compression_ratio is None
+    # whitespace-only: no tokens (NULL entropy) but bytes still compress
+    assert rows[5].token_entropy is None
+    assert rows[5].compression_ratio is not None
