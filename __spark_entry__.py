@@ -201,6 +201,110 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one quarter — fact-fact equi-join on the shuffle key,
+    broadcast customer/nation dims, TakeOrdered limit (no global
+    sort materialization)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month — a
+    conditional-aggregate ratio over a broadcast part join; single
+    output row, map-side partial sums."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below 20% of the part's average quantity) were dropped.
+    The correlated scalar subquery decorrelates to a per-part aggregate
+    joined back on the part key — O(n_parts) rows, AQE-broadcast; the
+    threshold stays exact because l_quantity is integral (sum < 2^53),
+    so the 0.2*avg comparison is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#23")
+    li_b = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("_thr")
+    )
+    return (
+        li_b.join(avg_q, "l_partkey")
+        .where(F.col("l_quantity") < F.col("_thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and NO RECENT orders (none since 2000-01-01; every customer has
+    SOME order in this generator), per market segment — a global
+    scalar aggregate (broadcast single row) + left_anti join against
+    the filtered orders. The average is computed on exact integer
+    cents (balances are 2-decimal), so the threshold comparison is
+    bit-stable across engines and partitionings."""
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "_cents", F.round(F.col("c_acctbal") * 100).cast("bigint")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    thr = cust.where(F.col("_cents") > 0).agg(
+        F.avg("_cents").alias("_avg_cents")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .where(F.col("_cents") > F.col("_avg_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def corr_customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery form: customers with balance above their
     nation's average (decorrelated to a window/join plan in Spark)."""
@@ -489,6 +593,23 @@ def dedup_cc_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(docs, n=3, k=8, bands=4, max_bucket_size=1000)
     return dedup_clusters(pairs).orderBy("component")
+
+
+def dedup_keep_best_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware fuzzy dedup (operators/components.py
+    keep_best_per_cluster): same minhash-LSH pairs + connected
+    components as dedup_cc_clusters, but the kept canonical per cluster
+    is the LONGEST member (n_chars as the quality proxy; tie -> min
+    doc_id) via a map-side-combined max_by aggregate — no per-cluster
+    window. The twin closes the identical pair SQL recursively and
+    picks the same argmax."""
+    from deidentify_spark.operators.components import keep_best_per_cluster
+    from deidentify_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(docs, n=3, k=8, bands=4, max_bucket_size=1000)
+    kept = keep_best_per_cluster(docs, pairs, "n_chars", id_col="doc_id")
+    return kept.select("doc_id", "n_chars").orderBy("doc_id")
 
 
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -967,18 +1088,23 @@ def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def fuzzy_name_matches_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact edit-distance<=2 self-join on part names via PassJoin
-    segment-signature blocking (Li et al. VLDB 2011;
+    """Exact WITHIN-BRAND edit-distance<=2 self-join on part names via
+    PassJoin segment-signature blocking (Li et al. VLDB 2011;
     operators/fuzzy.py) — entity resolution WITHOUT the all-pairs theta
-    join. Lossless blocking: one bounded array explode per side, hash
-    equi-join on (segment_idx, length, segment), banded-Levenshtein
-    verify; output provably equals the textbook theta join the oracle
-    runs."""
+    join. p_name is the operator's documented degenerate case (every
+    name is 5 words from a ~92-color vocabulary, so raw segment keys
+    are template-hot: measured 73s at sf0.1 unblocked), and the query
+    applies the operator's own prescription: pre-block on the exact key
+    p_brand (block_cols), which scopes every template collision to one
+    brand. Still lossless — the result is exactly the theta join with
+    the brand-equality predicate the oracle runs. One bounded array
+    explode per side, hash equi-join on (brand, segment_idx, length,
+    segment), banded-Levenshtein verify."""
     from deidentify_spark.operators.fuzzy import fuzzy_self_join
 
     part = _t(spark, sf_dir, "part")
     return fuzzy_self_join(
-        part, 2, col="p_name", id_col="p_partkey"
+        part, 2, col="p_name", id_col="p_partkey", block_cols=["p_brand"]
     ).orderBy("id_a", "id_b")
 
 
@@ -1014,6 +1140,54 @@ def compression_ratio_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.round(F.col("_sig.compression_ratio"), 6).alias("compression_ratio"),
+    ).orderBy("doc_id")
+
+
+def rebalance_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture rebalancing by CHAR MASS (operators/curation.py
+    rebalance_mixture): sample the corpus so expected n_chars mass per
+    lang is budget*target — the DoReMi/Pile domain-weight application
+    step. Rates computed IN-PLAN from a groupBy(lang) mass aggregate
+    joined back (O(n_strata) rows, AQE-broadcast); keep decision is the
+    deterministic md5 threshold (replayable across retries/engines);
+    strata absent from the target map are dropped (the mixture IS the
+    whitelist). de/zh rates cap at 1.0, exercising the
+    cannot-oversample contract."""
+    from deidentify_spark.operators.curation import rebalance_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = rebalance_mixture(
+        docs,
+        targets={"en": 0.4, "de": 0.3, "zh": 0.3},
+        budget=80000,
+        strata_col="lang",
+        weight_col="n_chars",
+        id_col="doc_id",
+        seed=42,
+    )
+    return kept.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
+def mad_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-source doc-length outlier flags via exact
+    median/MAD (operators/scan.py mad_outliers, Hampel identifier
+    k=3): |n_chars - median| > 3*MAD, both statistics EXACT discrete
+    order statistics from two composed bucketed prefix scans — no
+    global sort, no one-task-per-source window, no approxQuantile in
+    the answer. The heavy-tail-safe alternative to the z-score gate
+    for web-doc length distributions."""
+    from deidentify_spark.operators.scan import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents")
+    return mad_outliers(
+        docs, "n_chars", group_cols=["source"], k=3.0
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "group_median",
+        "group_mad",
+        "is_outlier",
     ).orderBy("doc_id")
 
 
@@ -2446,6 +2620,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_name_matches_part": fuzzy_name_matches_part,
         "text_entropy_documents": text_entropy_documents,
         "compression_ratio_documents": compression_ratio_documents,
+        "rebalance_mixture_documents": rebalance_mixture_documents,
+        "mad_outliers_documents": mad_outliers_documents,
+        "q10_returned_item_revenue": q10_returned_item_revenue,
+        "q14_promo_revenue_share": q14_promo_revenue_share,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_idle_customer_balance": q22_idle_customer_balance,
+        "dedup_keep_best_documents": dedup_keep_best_documents,
     }
 
 
@@ -3653,7 +3834,9 @@ def oracle_sql() -> dict[str, str]:
         "fuzzy_name_matches_part": __import__(
             "deidentify_spark.operators.fuzzy",
             fromlist=["fuzzy_join_oracle_sql"],
-        ).fuzzy_join_oracle_sql("part", 2, "p_name", "p_partkey"),
+        ).fuzzy_join_oracle_sql(
+            "part", 2, "p_name", "p_partkey", block_cols=["p_brand"]
+        ),
         "text_entropy_documents": __import__(
             "deidentify_spark.functions.text_stats",
             fromlist=["REDUNDANCY_ENTROPY_SQL"],
@@ -3666,6 +3849,158 @@ def oracle_sql() -> dict[str, str]:
             "compression_ratio_golden.json",
             [("doc_id", "BIGINT"), ("compression_ratio", "DOUBLE")],
         ),
+        # rate = (budget*target)/mass in the SAME double-op order as the
+        # Spark plan; mass sums integer-valued doubles (exact < 2^53),
+        # so the md5-threshold keep decision is bit-identical
+        "rebalance_mixture_documents": """
+            WITH mass AS (
+                SELECT lang, SUM(n_chars::DOUBLE) AS m
+                FROM documents GROUP BY 1
+            ), rates AS (
+                SELECT lang,
+                       LEAST(1.0, (80000.0 * CASE lang
+                                   WHEN 'en' THEN 0.4
+                                   WHEN 'de' THEN 0.3
+                                   WHEN 'zh' THEN 0.3 END) / m) AS rate
+                FROM mass
+                WHERE lang IN ('en', 'de', 'zh')
+            )
+            SELECT doc_id, lang, n_chars
+            FROM documents JOIN rates USING (lang)
+            WHERE (('0x'||substr(md5('42:'||doc_id::VARCHAR),1,8)))
+                      ::BIGINT::DOUBLE / 4294967296.0 < rate
+            ORDER BY doc_id
+        """,
+        "q10_returned_item_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q14_promo_revenue_share": """
+            SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                     THEN l_extendedprice * (1 - l_discount)
+                                     ELSE 0.0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+        """,
+        # 0.2*AVG threshold is exact: l_quantity is integral, so the
+        # per-part sum (and hence avg) is bit-identical across engines
+        "q17_small_quantity_revenue": """
+            WITH li_b AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#23'
+            ), thr AS (
+                SELECT l_partkey, 0.2 * AVG(l_quantity) AS t
+                FROM li_b GROUP BY 1
+            )
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM li_b JOIN thr USING (l_partkey)
+            WHERE l_quantity < t
+        """,
+        # threshold on exact integer cents (balances are 2-decimal), so
+        # the > comparison cannot flip with float summation order
+        "q22_idle_customer_balance": """
+            WITH c AS (
+                SELECT c_custkey, c_mktsegment, c_acctbal,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            ), thr AS (
+                SELECT AVG(cents) AS avg_cents FROM c WHERE cents > 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS n_cust,
+                   ROUND(SUM(c_acctbal), 2) AS total_bal
+            FROM c, thr
+            WHERE cents > avg_cents
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY 1 ORDER BY 1
+        """,
+        # same pair CTEs closed recursively as dedup_cc_clusters, then
+        # the per-cluster argmax(n_chars, tie -> min doc_id) kept
+        "dedup_keep_best_documents": f"""
+            WITH RECURSIVE pairs AS (
+                SELECT * FROM ({_MINHASH_CAND_SQL})
+            ), edges AS (
+                SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ), walk(node, lbl) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+            ), comp AS (
+                SELECT node, MIN(lbl) AS component FROM walk GROUP BY node
+            ), members AS (
+                SELECT c.component, d.doc_id, d.n_chars
+                FROM comp c JOIN documents d ON d.doc_id = c.node
+            ), best AS (
+                SELECT component, doc_id AS keep
+                FROM members
+                QUALIFY row_number() OVER (PARTITION BY component
+                                           ORDER BY n_chars DESC,
+                                                    doc_id) = 1
+            ), dropped AS (
+                SELECT m.doc_id FROM members m
+                JOIN best b USING (component)
+                WHERE m.doc_id != b.keep
+            )
+            SELECT doc_id, n_chars FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
+        """,
+        # exact DISCRETE p50 (smallest v with cum count >= ceil(N/2)),
+        # twice — NOT DuckDB's interpolating median()
+        "mad_outliers_documents": """
+            WITH c1 AS (
+                SELECT source, n_chars AS v, COUNT(*) AS c
+                FROM documents GROUP BY 1, 2
+            ), med AS (
+                SELECT source,
+                       MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN v END) AS med
+                FROM (SELECT source, v,
+                             SUM(c) OVER (PARTITION BY source
+                                          ORDER BY v) AS cc,
+                             SUM(c) OVER (PARTITION BY source) AS n
+                      FROM c1)
+                GROUP BY source
+            ), dev AS (
+                SELECT d.doc_id, d.source, d.n_chars, m.med,
+                       ABS(d.n_chars - m.med) AS dv
+                FROM documents d JOIN med m USING (source)
+            ), c2 AS (
+                SELECT source, dv AS v, COUNT(*) AS c
+                FROM dev GROUP BY 1, 2
+            ), mad AS (
+                SELECT source,
+                       MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN v END) AS mad
+                FROM (SELECT source, v,
+                             SUM(c) OVER (PARTITION BY source
+                                          ORDER BY v) AS cc,
+                             SUM(c) OVER (PARTITION BY source) AS n
+                      FROM c2)
+                GROUP BY source
+            )
+            SELECT dev.doc_id, dev.source, dev.n_chars,
+                   dev.med AS group_median, mad.mad AS group_mad,
+                   dev.dv > 3.0 * mad.mad AS is_outlier
+            FROM dev JOIN mad USING (source)
+            ORDER BY dev.doc_id
+        """,
         # the twin is the rejected shuffle-heavy formulation: explode
         # every token, join the vocab, re-sort per doc — correct, and
         # exactly what the map-side dict UDF avoids

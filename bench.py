@@ -107,6 +107,13 @@ BENCH_QUERIES = [
     "profile_documents",
     "snapshot_diff_documents",
     "weighted_sample_documents",
+    "fuzzy_name_matches_part",
+    "rebalance_mixture_documents",
+    "mad_outliers_documents",
+    "dedup_keep_best_documents",
+    "q10_returned_item_revenue",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
     "scrub_documents",
 ]
 

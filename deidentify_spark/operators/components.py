@@ -167,3 +167,45 @@ def fuzzy_dedup_keep(
         F.col("node").alias(id_col)
     )
     return df.join(dropped, id_col, "left_anti")
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware fuzzy dedup: keep the HIGHEST-``score_col`` member
+    of every duplicate cluster (tie -> min id), not the min-id one —
+    the curation posture when near-dup copies differ in rendering
+    quality (truncated mirrors, boilerplate-injected rehosts) and the
+    canonical copy should be the best one, as FineWeb/Dolma do when a
+    quality signal is already on the row.
+
+    Shape: ``connected_components`` over the candidate pairs (the
+    module's O(log^2 n) star algorithm — no driver graph), then ONE
+    groupBy(component) with ``max_by(id, struct(score, -id))`` — a
+    declarative aggregate with map-side partial combine, so a giant
+    cluster never funnels into a window task — and a left_anti join
+    dropping the non-canonical members.  Docs that never entered a
+    pair are kept implicitly (they have no component row).
+
+    Ties break to the SMALLEST id via the negated-id struct field, so
+    the choice is total and engine-independent whenever ``score_col``
+    is deterministic.
+    """
+    comp = connected_components(pairs)
+    members = df.select(
+        F.col(id_col).alias("node"), F.col(score_col).alias("_s")
+    ).join(comp, "node")
+    best = members.groupBy("component").agg(
+        F.max_by(
+            "node", F.struct(F.col("_s"), (-F.col("node")).alias("_t"))
+        ).alias("_keep")
+    )
+    dropped = (
+        members.join(best, "component")
+        .where(F.col("node") != F.col("_keep"))
+        .select(F.col("node").alias(id_col))
+    )
+    return df.join(dropped, id_col, "left_anti")

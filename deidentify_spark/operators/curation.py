@@ -299,6 +299,65 @@ def mixture_weights(
     return out
 
 
+def rebalance_mixture(
+    df: DataFrame,
+    targets: dict[str, float],
+    budget: int,
+    strata_col: str = "lang",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Sample the corpus to an explicit TARGET mixture by token/char
+    MASS in one plan — the application step of a data-mixing recipe
+    (the DoReMi / Pile posture: domain weights are decided upstream;
+    this operator materializes a corpus whose expected ``weight_col``
+    mass per stratum is ``budget * targets[stratum]``).
+
+    Differs from ``mixture_weights`` + ``stratified_sample`` in two
+    ways that matter at corpus scale: rates are computed from TOKEN
+    mass, not document counts (a stratum of few huge docs is not
+    over-sampled), and they stay IN-PLAN — one map-side-combined
+    groupBy(stratum) sum joined back on the stratum key (O(n_strata)
+    rows; AQE broadcasts it) — so there is no driver round-trip between
+    the weighing and the sampling and the whole thing composes into a
+    larger lazy pipeline.
+
+    Per-stratum Bernoulli rate: min(1, budget*target_s / mass_s),
+    capped exactly as mixture_weights caps (a stratum cannot yield more
+    mass than it has; the shortfall is the caller's re-normalization
+    decision). The keep decision is the same deterministic
+    u32(md5(seed:id))/2^32 threshold as stratified_sample — replayable
+    across retries, partitionings, and engines. Strata absent from
+    ``targets`` get rate 0 (the inner rate join drops them), which is
+    the contract: the target mixture IS the whitelist.
+    """
+    t_map = F.create_map(
+        *[x for s, t in sorted(targets.items()) for x in (F.lit(s), F.lit(float(t)))]
+    )
+    rates = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("_mass"))
+        .withColumn("_target", t_map[F.col(strata_col)])
+        .where(F.col("_target").isNotNull())
+        .select(
+            strata_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.col("_target") / F.col("_mass"),
+            ).alias("rate"),
+        )
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint") / F.lit(float(2**32))
+    return df.join(rates, strata_col).where(u < F.col("rate"))
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 512,

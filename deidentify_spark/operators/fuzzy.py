@@ -153,35 +153,50 @@ def fuzzy_join(
     left_id: str = "id_a",
     right_id: str = "id_b",
     max_bucket_size: int | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """All (id_a, id_b, dist) with ``levenshtein(left_col, right_col)
     <= max_dist``. NULL strings compare as ''. Exact (lossless
-    blocking) unless ``max_bucket_size`` drops hot index keys."""
+    blocking) unless ``max_bucket_size`` drops hot index keys.
+
+    ``block_cols`` is the documented pre-block escape hatch for
+    template-keyed data (see module docstring): columns — same names
+    both sides — that must match EXACTLY ride the candidate equi-join
+    key, so a shared template segment only collides WITHIN a block.
+    The result is then exact w.r.t. the blocked semantics ("pairs
+    within distance d AND equal on the block keys"), which is itself
+    expressible in the oracle as extra equality predicates. A NULL
+    block key matches nothing on either engine (hash-join and SQL ``=``
+    agree)."""
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     d = max_dist
+    blocks = list(block_cols or [])
     ls = left.select(
         F.col(left_id).alias("id_a"),
         F.coalesce(F.col(left_col), F.lit("")).alias("_sa"),
+        *blocks,
     )
     rs = right.select(
         F.col(right_id).alias("id_b"),
         F.coalesce(F.col(right_col), F.lit("")).alias("_sb"),
+        *blocks,
     )
     probe = ls.select(
-        "id_a", F.explode(_probe_keys(F.col("_sa"), d)).alias("_k")
-    ).select("id_a", "_k.i", "_k.l", "_k.seg")
+        "id_a", *blocks, F.explode(_probe_keys(F.col("_sa"), d)).alias("_k")
+    ).select("id_a", *blocks, "_k.i", "_k.l", "_k.seg")
     index = rs.select(
-        "id_b", F.explode(_index_keys(F.col("_sb"), d)).alias("_k")
-    ).select("id_b", "_k.i", "_k.l", "_k.seg")
+        "id_b", *blocks, F.explode(_index_keys(F.col("_sb"), d)).alias("_k")
+    ).select("id_b", *blocks, "_k.i", "_k.l", "_k.seg")
+    keys = blocks + ["i", "l", "seg"]
     if max_bucket_size is not None:
-        sizes = index.groupBy("i", "l", "seg").agg(F.count("*").alias("_n"))
+        sizes = index.groupBy(*keys).agg(F.count("*").alias("_n"))
         index = index.join(
             sizes.where(F.col("_n") <= max_bucket_size).drop("_n"),
-            ["i", "l", "seg"],
+            keys,
         )
     cand = (
-        probe.join(index, ["i", "l", "seg"])
+        probe.join(index, keys)
         .select("id_a", "id_b")
         .distinct()
     )
@@ -189,8 +204,8 @@ def fuzzy_join(
         F.col("_sa") == F.col("_sb"), F.lit(0)
     ).otherwise(F.lit(-1))
     return (
-        cand.join(ls, "id_a")
-        .join(rs, "id_b")
+        cand.join(ls.select("id_a", "_sa"), "id_a")
+        .join(rs.select("id_b", "_sb"), "id_b")
         .withColumn("dist", dist)
         .where(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
@@ -203,18 +218,21 @@ def fuzzy_self_join(
     col: str = "name",
     id_col: str = "id",
     max_bucket_size: int | None = None,
+    block_cols: list[str] | None = None,
 ) -> DataFrame:
     """Within-table fuzzy matches, each unordered pair once
     (id_a < id_b, so ids must be orderable)."""
+    keep = [col] + list(block_cols or [])
     out = fuzzy_join(
-        df.select(F.col(id_col).alias("id_a"), F.col(col)),
-        df.select(F.col(id_col).alias("id_b"), F.col(col)),
+        df.select(F.col(id_col).alias("id_a"), *keep),
+        df.select(F.col(id_col).alias("id_b"), *keep),
         max_dist,
         left_col=col,
         right_col=col,
         left_id="id_a",
         right_id="id_b",
         max_bucket_size=max_bucket_size,
+        block_cols=block_cols,
     )
     return out.where(F.col("id_a") < F.col("id_b"))
 
@@ -224,14 +242,19 @@ def fuzzy_join_oracle_sql(
     max_dist: int,
     col: str = "name",
     id_col: str = "id",
+    block_cols: list[str] | None = None,
 ) -> str:
     """DuckDB twin: the TEXTBOOK all-pairs theta join the segment scheme
-    provably equals (the blocking is lossless)."""
+    provably equals (the blocking is lossless; ``block_cols`` become
+    plain equality predicates)."""
+    block_pred = "".join(
+        f" AND a.{c} = b.{c}" for c in (block_cols or [])
+    )
     return f"""
         SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
                levenshtein(coalesce(a.{col}, ''),
                            coalesce(b.{col}, '')) AS dist
-        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
+        FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}{block_pred}
         WHERE levenshtein(coalesce(a.{col}, ''),
                           coalesce(b.{col}, '')) <= {max_dist}
         ORDER BY id_a, id_b

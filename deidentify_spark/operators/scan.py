@@ -52,6 +52,7 @@ __all__ = [
     "score_calibration",
     "calibration_oracle_sql",
     "exact_percentiles",
+    "mad_outliers",
 ]
 
 
@@ -410,3 +411,46 @@ def exact_percentiles(
     ]
     out = j.groupBy(*groups).agg(*aggs)
     return out.drop("_g") if tmp_group else out
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags via median absolute deviation — the
+    heavy-tail-safe alternative to the z-score gate (mean/stddev are
+    themselves dragged by the outliers they are supposed to catch;
+    web-doc length and quality-score distributions are exactly that
+    shape). Flags a row iff |x - median| > k * MAD, both statistics
+    EXACT per group (Leys et al. 2013 recommend k=3 conservative /
+    2.5 moderate; Hampel identifier).
+
+    Two composed ``exact_percentiles`` passes (each a map-side-combined
+    value-count aggregate + the bucketed per-group prefix scan — no
+    global sort, no one-task-per-group window, no approxQuantile in
+    any ANSWER), with the O(n_groups)-row statistic tables joined back
+    (AQE broadcasts them when small). Integer inputs stay integer
+    through |x - p50|, so median and MAD are bit-stable across engines
+    and partitionings.
+
+    Degenerate-group contract: MAD = 0 (over half the group at one
+    value) flags EVERY row off the median, which is the standard
+    Hampel behavior and the reason k*MAD uses strict ``>``. NULL
+    values never flag (comparisons are NULL-false).
+    """
+    groups = list(group_cols or [])
+    med = exact_percentiles(df, value_col, qs=(0.5,), group_cols=groups)
+    med = med.withColumnRenamed("p50", "_med")
+    j = df.join(med, groups) if groups else df.crossJoin(F.broadcast(med))
+    j = j.withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
+    mad = exact_percentiles(j, "_dev", qs=(0.5,), group_cols=groups)
+    mad = mad.withColumnRenamed("p50", "_mad")
+    j = j.join(mad, groups) if groups else j.crossJoin(F.broadcast(mad))
+    return j.select(
+        *df.columns,
+        F.col("_med").alias("group_median"),
+        F.col("_mad").alias("group_mad"),
+        (F.col("_dev") > F.lit(float(k)) * F.col("_mad")).alias("is_outlier"),
+    )

@@ -117,3 +117,50 @@ def test_no_cartesian_in_star_rounds(spark):
         plan = stage._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_best_per_cluster(spark):
+    from deidentify_spark.operators.components import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 7), (3, 40), (4, 5), (5, 40), (6, 1), (7, 2)],
+        "doc_id: long, score: long",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 5), (6, 7)], "doc_a: long, doc_b: long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, pairs, "score").collect()
+    )
+    # cluster {0,3,5}: scores 10/40/40 -> tie at 40 keeps min id 3;
+    # cluster {6,7}: scores 1/2 -> keeps 7; 1,2,4 untouched
+    assert kept == [1, 2, 3, 4, 7]
+
+
+def test_keep_best_matches_python_reference(spark):
+    from deidentify_spark.operators.components import keep_best_per_cluster
+
+    rng = random.Random(13)
+    n = 60
+    scores = {i: rng.randint(0, 5) for i in range(n)}
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    docs = spark.createDataFrame(
+        [(i, scores[i]) for i in range(n)], "doc_id: long, score: long"
+    )
+    pairs = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    got = sorted(
+        r["doc_id"]
+        for r in keep_best_per_cluster(docs, pairs, "score").collect()
+    )
+    comp = _uf_components(edges)
+    clusters = {}
+    for node, c in comp.items():
+        clusters.setdefault(c, []).append(node)
+    dropped = set()
+    for members in clusters.values():
+        best = max(members, key=lambda i: (scores[i], -i))
+        dropped.update(m for m in members if m != best)
+    want = sorted(i for i in range(n) if i not in dropped)
+    assert got == want

@@ -633,3 +633,64 @@ def test_group_disjoint_split(spark):
         .select("host", "split").distinct().collect()
     }
     assert other != splits
+
+
+# ------------------------------------------------------- rebalance_mixture
+
+def _md5_u(seed: int, doc_id: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) / 2**32
+
+
+def test_rebalance_mixture_matches_python_reference(spark):
+    from deidentify_spark.operators.curation import rebalance_mixture
+
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.choice(["en", "de", "fr"]), rng.randint(50, 500))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    targets, budget = {"en": 0.5, "de": 0.5}, 40000
+    got = sorted(r.doc_id for r in rebalance_mixture(
+        df, targets, budget, strata_col="lang", weight_col="n_chars",
+        id_col="doc_id", seed=7).collect())
+
+    mass = {}
+    for _, lang, n in rows:
+        mass[lang] = mass.get(lang, 0.0) + float(n)
+    want = sorted(
+        i for i, lang, _ in rows
+        if lang in targets
+        and _md5_u(7, i) < min(1.0, budget * targets[lang] / mass[lang])
+    )
+    assert got == want
+    assert all(lang != "fr" for i, lang, _ in rows if i in set(got))
+
+
+def test_rebalance_mixture_rate_caps_at_one(spark):
+    from deidentify_spark.operators.curation import rebalance_mixture
+
+    # budget*target far exceeds the stratum mass -> rate 1 -> keep ALL
+    df = spark.createDataFrame(
+        [(i, "en", 100) for i in range(50)],
+        "doc_id long, lang string, n_chars long",
+    )
+    kept = rebalance_mixture(df, {"en": 1.0}, budget=10**9)
+    assert kept.count() == 50
+
+
+def test_rebalance_mixture_expected_mass_near_target(spark):
+    from deidentify_spark.operators.curation import rebalance_mixture
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 100) for i in range(4000)],
+        "doc_id long, lang string, n_chars long",
+    )
+    kept = rebalance_mixture(df, {"en": 0.6, "de": 0.4}, budget=100000)
+    got = {r.lang: r.m for r in
+           kept.groupBy("lang").agg(F.sum("n_chars").alias("m")).collect()}
+    # Bernoulli at ~2000 trials: stay within 15% of expectation
+    assert abs(got["en"] - 60000) < 9000 and abs(got["de"] - 40000) < 6000

@@ -105,6 +105,30 @@ def test_fuzzy_bucket_cap_drops_hot_keys(spark):
     assert capped < full
 
 
+def test_fuzzy_block_cols_equal_blocked_brute_force(spark):
+    # pre-block on an exact key: result == brute-force pairs restricted
+    # to equal (non-NULL) block keys; a NULL block key matches nothing
+    rng = random.Random(7)
+    blocks = ["b1", "b2", None]
+    data = [
+        (i, rng.choice(["abcde", "abcdx", "abxde", "zzzzz"]), rng.choice(blocks))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(data, "id int, name string, grp string")
+    got = sorted(
+        (r.id_a, r.id_b, r.dist)
+        for r in fuzzy_self_join(
+            df, 2, col="name", id_col="id", block_cols=["grp"]
+        ).collect()
+    )
+    want = sorted(
+        (i, j, _lev(x, y))
+        for (i, x, gi), (j, y, gj) in itertools.combinations(data, 2)
+        if gi is not None and gi == gj and _lev(x, y) <= 2
+    )
+    assert got == want
+
+
 def test_fuzzy_plan_has_no_cartesian(spark):
     df = spark.createDataFrame([(1, "abc"), (2, "abd")], "id int, name string")
     plan = fuzzy_self_join(df, 2, col="name", id_col="id")._jdf.queryExecution().executedPlan().toString()

@@ -170,3 +170,56 @@ def test_exact_percentiles_ungrouped_and_extremes(spark):
     r = exact_percentiles(df, "v", qs=(0.01, 0.5, 1.0)).collect()
     assert len(r) == 1
     assert r[0].p1 == 1 and r[0].p50 == 50 and r[0].p100 == 100
+
+
+def test_mad_outliers_matches_python_reference(spark):
+    from deidentify_spark.operators.scan import mad_outliers
+
+    import math
+
+    rng = random.Random(5)
+    rows = [(i, f"g{i % 3}", rng.randint(10, 60)) for i in range(300)]
+    # plant obvious outliers in every group
+    rows += [(1000, "g0", 5000), (1001, "g1", -999), (1002, "g2", 9999)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    got = {r.id: r for r in
+           mad_outliers(df, "v", group_cols=["g"], k=3.0).collect()}
+
+    def disc_p50(vals):
+        vals = sorted(vals)
+        return vals[math.ceil(0.5 * len(vals)) - 1]
+
+    for g in ("g0", "g1", "g2"):
+        vals = [v for _, gg, v in rows if gg == g]
+        med = disc_p50(vals)
+        mad = disc_p50([abs(v - med) for v in vals])
+        for i, gg, v in rows:
+            if gg != g:
+                continue
+            r = got[i]
+            assert r.group_median == med and r.group_mad == mad
+            assert r.is_outlier == (abs(v - med) > 3.0 * mad), (i, v, med, mad)
+    assert got[1000].is_outlier and got[1001].is_outlier and got[1002].is_outlier
+
+
+def test_mad_outliers_degenerate_zero_mad(spark):
+    from deidentify_spark.operators.scan import mad_outliers
+
+    # >half the group at one value -> MAD=0 -> every off-median row
+    # flags (Hampel behavior; strict > keeps the median rows clean)
+    df = spark.createDataFrame(
+        [(i, 7) for i in range(10)] + [(10, 8), (11, 7)], "id long, v long"
+    )
+    out = {r.id: r for r in mad_outliers(df, "v").collect()}
+    assert all(r.group_mad == 0 for r in out.values())
+    assert out[10].is_outlier and not out[11].is_outlier
+
+
+def test_mad_outliers_no_single_partition_window(spark):
+    from deidentify_spark.operators.scan import mad_outliers
+
+    df = spark.createDataFrame([(i, "g", i) for i in range(50)],
+                               "id long, g string, v long")
+    plan = (mad_outliers(df, "v", group_cols=["g"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "SinglePartition" not in plan
