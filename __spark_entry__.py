@@ -1191,6 +1191,24 @@ def mad_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def semantic_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic outlier gate (operators/similarity.py
+    centroid_outliers): cosine of each vector to its OWN label-group
+    mean embedding, flagged when > 3 MADs off the group median — the
+    embedding-space analogue of the robust length gate (off-centroid
+    docs are the off-topic / extraction-garbage review candidates).
+    Per-group centroid is O(n_groups*d) off the fact table; cosine is
+    a JVM fold; median/MAD are exact discrete order statistics via the
+    bucketed prefix scan. Rounded to 6 decimals on BOTH engines so
+    float fold drift (~1e-15) sits 9 orders below the round quantum."""
+    from deidentify_spark.operators.similarity import centroid_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return centroid_outliers(
+        emb, group_col="label", vec_col="embedding", id_col="vec_id", k=3.0
+    ).orderBy("vec_id")
+
+
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining: per anchor (vec_id < 4), the top-5 corpus
     vectors with cosine in [0.1, 0.95) — informative-but-not-duplicate
@@ -2622,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compression_ratio_documents": compression_ratio_documents,
         "rebalance_mixture_documents": rebalance_mixture_documents,
         "mad_outliers_documents": mad_outliers_documents,
+        "semantic_outliers_embeddings": semantic_outliers_embeddings,
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q14_promo_revenue_share": q14_promo_revenue_share,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3871,6 +3890,10 @@ def oracle_sql() -> dict[str, str]:
                       ::BIGINT::DOUBLE / 4294967296.0 < rate
             ORDER BY doc_id
         """,
+        "semantic_outliers_embeddings": __import__(
+            "deidentify_spark.operators.similarity",
+            fromlist=["centroid_outliers_oracle_sql"],
+        ).centroid_outliers_oracle_sql("embeddings", dim=64),
         "q10_returned_item_revenue": """
             SELECT c_custkey, c_name, n_name,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)

@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "rebalance_mixture_documents",
     "mad_outliers_documents",
     "dedup_keep_best_documents",
+    "semantic_outliers_embeddings",
     "q10_returned_item_revenue",
     "q17_small_quantity_revenue",
     "q22_idle_customer_balance",

@@ -267,3 +267,133 @@ def cosine_topk_lsh(
         )
     ).drop("bands")
     return cosine_topk_bruteforce(cands, query_vec, k, id_col, vec_col)
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Semantic outlier gate: flag vectors whose cosine to their OWN
+    group's mean embedding deviates more than ``k`` MADs from the
+    group median cosine — the embedding-space analogue of the length
+    gate (SemDeDup-adjacent: off-centroid documents are the mislabeled
+    / off-topic / extraction-garbage candidates a curation pass
+    reviews).
+
+    Plan, all JVM-side (no UDF):
+    1. per-group centroid via posexplode + groupBy(group, pos) avg —
+       O(n_groups * d) rows, re-assembled with a sorted collect_list
+       (bounded by d per group) and broadcast back;
+    2. cosine as sequential-fold `aggregate(zip_with(...))` double
+       expressions, ROUNDed to ``decimals`` so the cross-engine
+       last-ulp drift of the float centroid/dot sums (~1e-15 relative,
+       9 orders below the round quantum) cannot flip a comparison;
+    3. ``mad_outliers`` over the rounded cosine — exact discrete
+       median/MAD per group via the bucketed prefix scan, identical
+       doubles on every engine from identical rounded inputs.
+
+    At corpus scale nothing here exceeds O(n_groups * d) off the fact
+    table: no window over the group, no driver collect, no pairwise
+    anything.
+    """
+    from deidentify_spark.operators.scan import mad_outliers
+
+    v = F.col(vec_col).cast("array<double>")
+    e = emb.select(F.col(id_col), F.col(group_col), v.alias("_v"))
+    cen = (
+        e.select(group_col, F.posexplode("_v").alias("_p", "_x"))
+        .groupBy(group_col, "_p")
+        .agg(F.avg("_x").alias("_m"))
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                lambda s: s._m,
+            ).alias("_c")
+        )
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    cos = F.round(
+        _dot(F.col("_v"), F.col("_c"))
+        / (
+            F.sqrt(_dot(F.col("_v"), F.col("_v")))
+            * F.sqrt(_dot(F.col("_c"), F.col("_c")))
+        ),
+        decimals,
+    )
+    scored = e.join(F.broadcast(cen), group_col).select(
+        id_col, group_col, cos.alias("centroid_cos")
+    )
+    return mad_outliers(scored, "centroid_cos", group_cols=[group_col], k=k)
+
+
+def centroid_outliers_oracle_sql(
+    table: str,
+    dim: int,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: float = 3.0,
+    decimals: int = 6,
+) -> str:
+    """DuckDB twin of ``centroid_outliers``: per-dimension AVG list
+    centroid, list_dot_product cosine rounded to the same quantum,
+    then the exact discrete median/MAD + Hampel flag chain."""
+    avg_list = ", ".join(f"AVG(v[{i + 1}])" for i in range(dim))
+    return f"""
+        WITH e AS (
+            SELECT {id_col} AS vec_id, {group_col} AS label,
+                   CAST({vec_col} AS DOUBLE[]) AS v
+            FROM {table}
+        ), cen AS (
+            SELECT label, [{avg_list}] AS c FROM e GROUP BY label
+        ), cosx AS (
+            SELECT vec_id, label,
+                   ROUND(list_dot_product(v, c)
+                         / (sqrt(list_dot_product(v, v))
+                            * sqrt(list_dot_product(c, c))),
+                         {decimals}) AS centroid_cos
+            FROM e JOIN cen USING (label)
+        ), c1 AS (
+            SELECT label, centroid_cos AS vv, COUNT(*) AS c
+            FROM cosx GROUP BY 1, 2
+        ), med AS (
+            SELECT label,
+                   MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN vv END) AS med
+            FROM (SELECT label, vv,
+                         SUM(c) OVER (PARTITION BY label ORDER BY vv) AS cc,
+                         SUM(c) OVER (PARTITION BY label) AS n
+                  FROM c1)
+            GROUP BY label
+        ), dev AS (
+            SELECT x.vec_id, x.label, x.centroid_cos, m.med,
+                   ABS(x.centroid_cos - m.med) AS dv
+            FROM cosx x JOIN med m USING (label)
+        ), c2 AS (
+            SELECT label, dv AS vv, COUNT(*) AS c FROM dev GROUP BY 1, 2
+        ), mad AS (
+            SELECT label,
+                   MIN(CASE WHEN cc >= CEIL(0.5 * n) THEN vv END) AS mad
+            FROM (SELECT label, vv,
+                         SUM(c) OVER (PARTITION BY label ORDER BY vv) AS cc,
+                         SUM(c) OVER (PARTITION BY label) AS n
+                  FROM c2)
+            GROUP BY label
+        )
+        SELECT dev.vec_id, dev.label, dev.centroid_cos,
+               dev.med AS group_median, mad.mad AS group_mad,
+               dev.dv > {k} * mad.mad AS is_outlier
+        FROM dev JOIN mad USING (label)
+        ORDER BY dev.vec_id
+    """

@@ -838,3 +838,69 @@ def test_verify_candidate_pairs_prefix_cap(spark):
     cand = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
     row = verify_candidate_pairs(docs, cand, prefix_len=500).collect()[0]
     assert row.edit_sim == 1.0
+
+
+def test_centroid_outliers_matches_numpy(spark):
+    from deidentify_spark.operators.similarity import centroid_outliers
+
+    import math
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    n, d = 120, 8
+    labels = rng.randint(0, 3, n)
+    # tight clusters around a random direction per group, so in-group
+    # cosine MAD is small and the planted anti-centroid vector flags
+    dirs = rng.randn(3, d)
+    vecs = (dirs[labels] + 0.15 * rng.randn(n, d)).astype(np.float32)
+    for g in range(3):
+        i = int(np.where(labels == g)[0][0])
+        vecs[i] = (-dirs[g]).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]], int(labels[i])) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: r for r in centroid_outliers(emb).collect()}
+
+    def disc_p50(vals):
+        vals = sorted(vals)
+        return vals[math.ceil(0.5 * len(vals)) - 1]
+
+    v64 = vecs.astype(np.float64)
+    for g in range(3):
+        idx = [i for i in range(n) if labels[i] == g]
+        c = v64[idx].mean(axis=0)
+        cosr = {
+            i: round(
+                float(v64[i] @ c)
+                / (math.sqrt(float(v64[i] @ v64[i])) * math.sqrt(float(c @ c))),
+                6,
+            )
+            for i in idx
+        }
+        med = disc_p50(list(cosr.values()))
+        mad = disc_p50([abs(x - med) for x in cosr.values()])
+        for i in idx:
+            r = got[i]
+            assert r.centroid_cos == pytest.approx(cosr[i], abs=2e-6)
+            assert r.is_outlier == (abs(cosr[i] - med) > 3.0 * mad), (
+                i, cosr[i], med, mad,
+            )
+        planted = idx[0]
+        assert got[planted].is_outlier
+
+
+def test_centroid_outliers_plan_no_cartesian(spark):
+    from deidentify_spark.operators.similarity import centroid_outliers
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0], i % 2) for i in range(8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    plan = (
+        centroid_outliers(emb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
