@@ -355,7 +355,7 @@ def rebalance_mixture(
         16,
         10,
     ).cast("bigint") / F.lit(float(2**32))
-    return df.join(rates, strata_col).where(u < F.col("rate"))
+    return df.join(rates, strata_col).where(u < F.col("rate")).select(df.columns)
 
 
 def pack_sequences(

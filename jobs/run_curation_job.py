@@ -4,11 +4,14 @@ operators end-to-end on the quality-filter output:
 
     filter+scrub (run_pipeline, kept docs only)  ->  exact dedup
     (md5 canonical)  ->  fuzzy dedup (MinHash-LSH candidates ->
-    connected components -> canonical keep; NOTE the synthetic
+    connected components -> canonical keep; min-id by default,
+    LONGEST member with --keep-best; NOTE the synthetic
     generator corpus is template-heavy BY DESIGN, so this stage drops
     aggressively there)  ->  [opt-in --max-per-host: FineWeb-style
-    per-host cap, deterministic md5 priority]  ->  DSIR selection
-    (importance-resample the
+    per-host cap, deterministic md5 priority]  ->  [opt-in --mixture
+    "en=0.7,de=0.3" --mixture-budget CHARS: rebalance the pool to a
+    target language mixture by char MASS over lang_pred]  ->  DSIR
+    selection (importance-resample the
     deduped pool toward its lowest-perplexity quartile, Gumbel-top-k
     draw)  ->  deterministic shard assignment  ->  parquet partitioned
     by shard  ->  [opt-in --tokenize N: train an N-merge BPE tokenizer
@@ -157,14 +160,33 @@ def main(argv: list[str] | None = None) -> int:
     # sequences under tokens/. The learned merge table is committed in
     # the stage manifest so the tokenizer itself is an artifact.
     p.add_argument("--tokenize", type=int, default=0)
+    # Opt-in quality-aware fuzzy canonical (off = min-id, the round-4
+    # default): keep the LONGEST member of each duplicate cluster —
+    # the FineWeb/Dolma posture when near-dup copies differ in
+    # rendering quality (operators/components.keep_best_per_cluster,
+    # map-side max_by; a mega-cluster never assembles in one task).
+    p.add_argument("--keep-best", action="store_true")
+    # Opt-in language-mixture rebalancing between dedup and DSIR:
+    # --mixture "en=0.7,de=0.3" --mixture-budget CHARS samples the pool
+    # so expected char mass per lang_pred stratum is budget*target
+    # (operators/curation.rebalance_mixture — in-plan rates, md5 keep;
+    # langs absent from the map are DROPPED: the mixture is the
+    # whitelist).
+    p.add_argument("--mixture", default="")
+    p.add_argument("--mixture-budget", type=int, default=0)
     args = p.parse_args(argv)
     if not args.input and not args.synthesize:
         p.error("one of --input / --synthesize is required")
+    if bool(args.mixture) != bool(args.mixture_budget):
+        p.error("--mixture and --mixture-budget go together")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
-    from deidentify_spark.operators.components import fuzzy_dedup_keep
+    from deidentify_spark.operators.components import (
+        fuzzy_dedup_keep,
+        keep_best_per_cluster,
+    )
     from deidentify_spark.operators.dedup import (
         exact_dedup,
         minhash_lsh_candidates,
@@ -189,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
     fp1 = hashlib.md5(
         json.dumps(
             {
+                "v": 2,  # filtered barrier schema (v2 carries lang_pred)
                 "input": args.input,
                 "synthesize": args.synthesize,
                 "seed": args.seed,
@@ -197,7 +220,9 @@ def main(argv: list[str] | None = None) -> int:
             sort_keys=True,
         ).encode()
     ).hexdigest()
-    fp2 = hashlib.md5((fp1 + "|dedup-v1").encode()).hexdigest()
+    fp2 = hashlib.md5(
+        (fp1 + "|dedup-v1" + ("|keep-best" if args.keep_best else "")).encode()
+    ).hexdigest()
     fp3 = hashlib.md5(
         json.dumps(
             {
@@ -206,6 +231,8 @@ def main(argv: list[str] | None = None) -> int:
                 "n_shards": args.n_shards,
                 "seed": args.seed,
                 "max_per_host": args.max_per_host,
+                "mixture": args.mixture,
+                "mixture_budget": args.mixture_budget,
             },
             sort_keys=True,
         ).encode()
@@ -258,6 +285,7 @@ def main(argv: list[str] | None = None) -> int:
                 "url",
                 F.col("scrubbed_text").alias("text"),
                 "perplexity",
+                "lang_pred",
             )
             .dropDuplicates(["doc_id"])
         )
@@ -281,7 +309,12 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.time()
         pairs = minhash_lsh_candidates(docs)
-        docs = fuzzy_dedup_keep(docs, pairs)
+        if args.keep_best:
+            docs = keep_best_per_cluster(
+                docs.withColumn("_len", F.length("text")), pairs, "_len"
+            ).drop("_len")
+        else:
+            docs = fuzzy_dedup_keep(docs, pairs)
         docs.write.mode("overwrite").parquet(f"{args.output}/deduped")
         docs = spark.read.parquet(f"{args.output}/deduped")
         n_fuzzy = tick("fuzzy_dedup", docs, t0)
@@ -321,6 +354,25 @@ def main(argv: list[str] | None = None) -> int:
             group_col="host",
         ).drop("host", "group_rank")
         n_fuzzy = tick("domain_cap", docs, t0)
+
+    if args.mixture:
+        from deidentify_spark.operators.curation import rebalance_mixture
+
+        t0 = time.time()
+        targets = {
+            kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in args.mixture.split(",")
+        }
+        docs = rebalance_mixture(
+            docs.withColumn("_n_chars", F.length("text")),
+            targets,
+            args.mixture_budget,
+            strata_col="lang_pred",
+            weight_col="_n_chars",
+            id_col="doc_id",
+            seed=args.seed,
+        ).drop("_n_chars")
+        n_fuzzy = tick("mixture_rebalance", docs, t0)
 
     # Stage 4: DSIR — resample the deduped pool toward its own
     # best-quality slice: target = lowest-perplexity quartile (one

@@ -118,6 +118,26 @@ def test_spark_submit_curation_chain(tmp_path):
     ).fetchone()
     assert n_tok[0] == s["n_selected"]
     assert n_tok[1] == s4["stages"]["tokenize"]["subwords"] > 0
+    # opt-in quality-aware canonical + language-mixture rebalancing:
+    # --keep-best changes WHICH cluster member survives (same fuzzy
+    # count as the min-id run — one survivor per cluster either way);
+    # --mixture whitelists lang_pred strata and Bernoulli-samples to
+    # the char budget, so the pool shrinks between fuzzy and DSIR
+    s5 = submit(
+        tmp_path / "out3",
+        "--keep-best",
+        "--mixture", "en=1.0",
+        "--mixture-budget", "150000",
+    )
+    assert s5["n_after_fuzzy"] == s["n_after_fuzzy"], (
+        s5["n_after_fuzzy"], s["n_after_fuzzy"],
+    )
+    # (mass-shrink behavior is unit-tested in test_curation; the tiny
+    # post-fuzzy pool here sits under the char budget, so rate caps
+    # at 1 — the submit check is the plumbing + lineage + select base)
+    n_mix = s5["stages"]["mixture_rebalance"]["docs"]
+    assert 0 < n_mix <= s5["n_after_fuzzy"]
+    assert s5["n_selected"] == max(1, int(n_mix * 0.5))
     manifest = json.loads(
         (tmp_path / "out1" / "tokens" / "_stage_manifest.json").read_text()
     )
