@@ -52,6 +52,7 @@ __all__ = [
     "score_calibration",
     "calibration_oracle_sql",
     "exact_percentiles",
+    "percentiles_from_counts",
     "mad_outliers",
 ]
 
@@ -397,20 +398,36 @@ def exact_percentiles(
         df = df.withColumn("_g", F.lit(0))
         groups = ["_g"]
     counts = df.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("_c"))
-    cum = partitioned_prefix_sum(counts, groups, value_col, ["_c"])
-    tot = counts.groupBy(*groups).agg(F.sum("_c").alias("_n"))
+    out = percentiles_from_counts(counts, value_col, "_c", qs, groups)
+    return out.drop("_g") if tmp_group else out
+
+
+def percentiles_from_counts(
+    counts: DataFrame,
+    value_col: str,
+    count_col: str,
+    qs: tuple[float, ...],
+    groups: list[str],
+) -> DataFrame:
+    """``exact_percentiles`` steps 2-3 over an ALREADY-AGGREGATED
+    (group, value, count) table — the reuse point when a caller derives
+    a second statistic's value counts from the first's (mad_outliers:
+    deviation counts are a pure function of the value-count table, so
+    the corpus is never re-scanned for pass 2)."""
+    cum = partitioned_prefix_sum(counts, groups, value_col, [count_col])
+    tot = counts.groupBy(*groups).agg(F.sum(count_col).alias("_n"))
     j = cum.join(tot, groups)
     aggs = [
         F.min(
             F.when(
-                F.col("cum__c") >= F.ceil(F.lit(float(q)) * F.col("_n")),
+                F.col(f"cum_{count_col}")
+                >= F.ceil(F.lit(float(q)) * F.col("_n")),
                 F.col(value_col),
             )
         ).alias(f"p{int(round(q * 100))}")
         for q in qs
     ]
-    out = j.groupBy(*groups).agg(*aggs)
-    return out.drop("_g") if tmp_group else out
+    return j.groupBy(*groups).agg(*aggs)
 
 
 def mad_outliers(
@@ -427,11 +444,15 @@ def mad_outliers(
     EXACT per group (Leys et al. 2013 recommend k=3 conservative /
     2.5 moderate; Hampel identifier).
 
-    Two composed ``exact_percentiles`` passes (each a map-side-combined
-    value-count aggregate + the bucketed per-group prefix scan — no
-    global sort, no one-task-per-group window, no approxQuantile in
-    any ANSWER), with the O(n_groups)-row statistic tables joined back
-    (AQE broadcasts them when small). Integer inputs stay integer
+    ONE corpus value-count aggregate feeds BOTH statistics: the median
+    comes from the bucketed per-group prefix scan over the (group,
+    value, count) table, and the DEVIATION counts are derived from the
+    same table (|v - med| keyed re-aggregation — O(distinct values),
+    never a second corpus scan), so the whole statistic chain touches
+    the fact table exactly once plus the final flag join. No global
+    sort, no one-task-per-group window, no approxQuantile in any
+    ANSWER; the O(n_groups)-row statistic table joins back
+    (AQE broadcasts it when small). Integer inputs stay integer
     through |x - p50|, so median and MAD are bit-stable across engines
     and partitionings.
 
@@ -441,16 +462,34 @@ def mad_outliers(
     values never flag (comparisons are NULL-false).
     """
     groups = list(group_cols or [])
-    med = exact_percentiles(df, value_col, qs=(0.5,), group_cols=groups)
-    med = med.withColumnRenamed("p50", "_med")
-    j = df.join(med, groups) if groups else df.crossJoin(F.broadcast(med))
-    j = j.withColumn("_dev", F.abs(F.col(value_col) - F.col("_med")))
-    mad = exact_percentiles(j, "_dev", qs=(0.5,), group_cols=groups)
-    mad = mad.withColumnRenamed("p50", "_mad")
-    j = j.join(mad, groups) if groups else j.crossJoin(F.broadcast(mad))
+    tmp_group = not groups
+    w = df.withColumn("_g", F.lit(0)) if tmp_group else df
+    g = ["_g"] if tmp_group else groups
+    counts = w.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    med = percentiles_from_counts(
+        counts, value_col, "_c", (0.5,), g
+    ).withColumnRenamed("p50", "_med")
+    dev_counts = (
+        counts.join(med, g)
+        .select(
+            *g,
+            F.abs(F.col(value_col) - F.col("_med")).alias("_dev"),
+            "_c",
+        )
+        .groupBy(*g, "_dev")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = percentiles_from_counts(
+        dev_counts, "_dev", "_c", (0.5,), g
+    ).withColumnRenamed("p50", "_mad")
+    stats = med.join(mad, g)
+    j = w.join(stats, g)
     return j.select(
         *df.columns,
         F.col("_med").alias("group_median"),
         F.col("_mad").alias("group_mad"),
-        (F.col("_dev") > F.lit(float(k)) * F.col("_mad")).alias("is_outlier"),
+        (
+            F.abs(F.col(value_col) - F.col("_med"))
+            > F.lit(float(k)) * F.col("_mad")
+        ).alias("is_outlier"),
     )
