@@ -1191,6 +1191,38 @@ def mad_outliers_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def c4_line_trim_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (functions/quality.py c4_line_trim,
+    Raffel et al. 2020 §2.2): trim lines without terminal punctuation
+    / under 3 words / mentioning javascript, keep docs with >= 3
+    surviving lines and no lorem-ipsum/curly-brace. Pure JVM split ->
+    higher-order filter -> array_join — a shuffle-free narrow map.
+    The synthetic corpus is single-line word soup, so the query first
+    re-lines it DETERMINISTICALLY (plain leftmost substring replaces,
+    identical on both engines: ' value '->'.\\n' makes terminal-punct
+    line breaks, ' spark '->' javascript ' plants the line-drop
+    trigger); real pages go through c4_line_trim directly. Trimmed
+    text is compared by md5 digest."""
+    from deidentify_spark.functions.quality import c4_line_trim
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.replace(
+            F.replace(F.col("text"), F.lit(" value "), F.lit(".\n")),
+            F.lit(" spark "),
+            F.lit(" javascript "),
+        ),
+    )
+    out = c4_line_trim(docs)
+    return out.select(
+        "doc_id",
+        F.md5("c4_text").alias("trimmed_md5"),
+        "c4_lines_kept",
+        "c4_lines_dropped",
+        "c4_keep",
+    ).orderBy("doc_id")
+
+
 def semantic_outliers_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic outlier gate (operators/similarity.py
     centroid_outliers): cosine of each vector to its OWN label-group
@@ -2641,6 +2673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rebalance_mixture_documents": rebalance_mixture_documents,
         "mad_outliers_documents": mad_outliers_documents,
         "semantic_outliers_embeddings": semantic_outliers_embeddings,
+        "c4_line_trim_documents": c4_line_trim_documents,
         "q10_returned_item_revenue": q10_returned_item_revenue,
         "q14_promo_revenue_share": q14_promo_revenue_share,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
@@ -3894,6 +3927,37 @@ def oracle_sql() -> dict[str, str]:
             "deidentify_spark.operators.similarity",
             fromlist=["centroid_outliers_oracle_sql"],
         ).centroid_outliers_oracle_sql("embeddings", dim=64),
+        # identical line predicate on both engines: trailing-anchor
+        # regex on trim(line), the pinned within-line whitespace class
+        # [\t\f\r ], substring gates on the raw line/page
+        "c4_line_trim_documents": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       replace(replace(text, ' value ', '.' || chr(10)),
+                               ' spark ', ' javascript ') AS text
+                FROM documents
+            ), k AS (
+                SELECT doc_id, text,
+                       len(string_split(text, chr(10))) AS n_all,
+                       list_filter(
+                           string_split(text, chr(10)),
+                           ln -> regexp_matches(trim(ln), '[.!?"]$')
+                                 AND len(regexp_split_to_array(
+                                         trim(ln), '[\t\f\r ]+')) >= 3
+                                 AND NOT contains(lower(ln), 'javascript')
+                       ) AS kept
+                FROM d
+            )
+            SELECT doc_id,
+                   md5(COALESCE(array_to_string(kept, chr(10)), ''))
+                       AS trimmed_md5,
+                   len(kept) AS c4_lines_kept,
+                   n_all - len(kept) AS c4_lines_dropped,
+                   len(kept) >= 3
+                       AND NOT contains(lower(text), 'lorem ipsum')
+                       AND NOT contains(text, '{') AS c4_keep
+            FROM k ORDER BY doc_id
+        """,
         "q10_returned_item_revenue": """
             SELECT c_custkey, c_name, n_name,
                    ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "mad_outliers_documents",
     "dedup_keep_best_documents",
     "semantic_outliers_embeddings",
+    "c4_line_trim_documents",
     "q10_returned_item_revenue",
     "q17_small_quantity_revenue",
     "q22_idle_customer_balance",

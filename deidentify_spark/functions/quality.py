@@ -285,3 +285,53 @@ def quality_drop_reason(m: dict[str, Column], top2: Column, cfg: QualityConfig) 
         .when(m["has_policy"], "policy_phrase")
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def c4_line_trim(
+    df,
+    text_col: str = "text",
+    min_words: int = 3,
+    min_kept_lines: int = 3,
+):
+    """C4's LINE-level cleaning (Raffel et al. 2020 §2.2) — the step
+    the doc-level gate above deliberately does not do: instead of
+    dropping a whole page for bad lines, TRIM the lines and keep the
+    page if enough survive. Kept line = ends in a terminal punctuation
+    mark (``. ! ? "``), has >= ``min_words`` whitespace words, and does
+    not mention "javascript" (case-insensitive). Doc-level ``c4_keep``
+    = >= ``min_kept_lines`` lines survive AND the original page has no
+    "lorem ipsum" and no ``{`` (C4 drops both outright; our kept-line
+    floor stands in for C4's >=3-sentence rule).
+
+    Pure JVM column expressions (split -> higher-order filter ->
+    array_join): a narrow map over the corpus, no shuffle, no UDF —
+    the same envelope as the fused quality stage, so it composes
+    before the Arrow hop at any scale. Whitespace inside a line is the
+    pinned RE2 class minus newline (``[\\t\\f\\r ]``), matching the
+    repo-wide tokenization contract (tests/test_ws_parity.py).
+
+    Adds: ``c4_text`` (kept lines re-joined with \\n),
+    ``c4_lines_kept``, ``c4_lines_dropped``, ``c4_keep``.
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(ln: Column) -> Column:
+        t = F.trim(ln)
+        return (
+            t.rlike('[.!?"]$')
+            & (F.size(F.split(t, "[\\t\\f\\r ]+")) >= min_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, _keep)
+    return (
+        df.withColumn("c4_text", F.array_join(kept, "\n"))
+        .withColumn("c4_lines_kept", F.size(kept))
+        .withColumn("c4_lines_dropped", F.size(lines) - F.size(kept))
+        .withColumn(
+            "c4_keep",
+            (F.size(kept) >= min_kept_lines)
+            & ~F.lower(F.col(text_col)).contains("lorem ipsum")
+            & ~F.col(text_col).contains("{"),
+        )
+    )

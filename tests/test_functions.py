@@ -351,3 +351,54 @@ def test_redundancy_signals_closed_form(spark):
     # whitespace-only: no tokens (NULL entropy) but bytes still compress
     assert rows[5].token_entropy is None
     assert rows[5].compression_ratio is not None
+
+
+def test_c4_line_trim_handcrafted(spark):
+    from deidentify_spark.functions.quality import c4_line_trim
+
+    doc = "\n".join(
+        [
+            "This line ends with a period and has words.",   # kept
+            "Short one.",                                    # < 3 words
+            "no terminal punctuation here",                  # no punct
+            'He said "stop".',                               # kept
+            "Enable JavaScript to continue please.",         # javascript
+            "\tTabbed line also counts words fine.",         # kept
+            "Is this a question?",                           # kept
+            "",                                              # empty
+        ]
+    )
+    bad_doc = "Lorem Ipsum filler. More words here. And more again. Yes more."
+    curly_doc = "function() { return 1; } plus words here. A fine line too. Third good sentence here."
+    df = spark.createDataFrame(
+        [(1, doc), (2, bad_doc), (3, curly_doc), (4, "no lines at all")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_trim(df).collect()}
+
+    r = got[1]
+    assert r.c4_lines_kept == 4 and r.c4_lines_dropped == 4
+    assert r.c4_keep
+    assert r.c4_text == "\n".join(
+        [
+            "This line ends with a period and has words.",
+            'He said "stop".',
+            "\tTabbed line also counts words fine.",
+            "Is this a question?",
+        ]
+    )
+    # lorem ipsum kills the doc even though its line survives
+    assert got[2].c4_lines_kept == 1 and not got[2].c4_keep
+    # curly brace kills the doc
+    assert not got[3].c4_keep
+    # nothing survives: empty trimmed text, keep=False
+    assert got[4].c4_lines_kept == 0 and got[4].c4_text == ""
+    assert not got[4].c4_keep
+
+
+def test_c4_line_trim_is_shuffle_free(spark):
+    from deidentify_spark.functions.quality import c4_line_trim
+
+    df = spark.createDataFrame([(1, "A line here now.")], "doc_id long, text string")
+    plan = c4_line_trim(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
