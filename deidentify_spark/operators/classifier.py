@@ -30,7 +30,7 @@ identical in the generated DuckDB twin.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from deidentify_spark.operators.dedup import _hash60
@@ -44,6 +44,7 @@ def _features(
     id_col: str,
     n_buckets: int,
     extra_cols: tuple[str, ...] = (),
+    count_col: str | None = None,
 ) -> DataFrame:
     """(id[, extra...], feature) with multiplicity: hashed word unigrams
     + bigrams. ``extra_cols`` ride the explode (e.g. a per-doc label) so
@@ -77,11 +78,24 @@ def _features(
     ).otherwise(F.array().cast("array<string>"))
     grams = F.concat(F.col("_words"), bi)
     extras = [F.col(c) for c in extra_cols]
+    counts: list = []
+    if count_col is not None:
+        # per-doc TOTAL gram count as a rider column: |uni| + |bi| =
+        # n + (n-1 when n >= 2) — pure arithmetic on the words array,
+        # exactly the number of rows this doc's explode emits. The
+        # previous consumer-side `count(1) over partitionBy(id)` window
+        # computed the same number but forced a full sort of the
+        # exploded occurrence stream inside the feats build.
+        n_w = F.size("_words")
+        counts = [
+            (n_w + F.when(n_w >= 2, n_w - 1).otherwise(0)).alias(count_col)
+        ]
     return base.select(
-        F.col(id_col), *extras, F.explode(grams).alias("shingle")
+        F.col(id_col), *extras, *counts, F.explode(grams).alias("shingle")
     ).select(
         id_col,
         *extras,
+        *([count_col] if count_col is not None else []),
         F.pmod(_hash60(F.col("shingle")), F.lit(n_buckets)).alias("feature"),
     )
 
@@ -118,10 +132,12 @@ def nb_train(
         F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("_y"), 0).otherwise(1)).alias("c0"),
     )
+    # counts is bounded by n_buckets rows — broadcast the completion
+    # join so the dense weight build is a narrow map over range()
     dense = (
-        spark.range(n_buckets)
+        spark.range(0, n_buckets, 1, numPartitions=8)
         .withColumnRenamed("id", "feature")
-        .join(counts, "feature", "left")
+        .join(F.broadcast(counts), "feature", "left")
         .select(
             "feature",
             F.coalesce("c1", F.lit(0)).alias("c1"),
@@ -241,9 +257,17 @@ def logreg_train(
     The feature stream is computed once and persisted (slim ≈25 B/row
     (id, y, feature, L) projection); the preconditioner and NB init are
     one-time aggregations of it; weights localCheckpoint each iteration
-    (the connected-components lineage-cut pattern); the only driver
-    actions are two setup counts and one 1-row bias-gradient scalar per
-    iteration — bounded, n_iters is a small constant.
+    (the connected-components lineage-cut pattern). The BIAS rides the
+    checkpointed weight table as a sentinel row (feature = -1, a bucket
+    no document can hash to, h = h_bias), so its update ``b - Σr/hb``
+    is the same ``w - g/h`` expression as every other coefficient and
+    each iteration is exactly ONE driver action (the eager checkpoint)
+    — the earlier per-iteration 1-row ``Σr`` collect was one more
+    serialized driver round-trip per round (sf0.1 bench query 11.3s ->
+    10.5s together with the broadcast completion/update joins and the
+    window-free ``_L``; identical scores, oracle-pinned). Setup is two
+    actions: one (n_train, npos) aggregate and the feats count that
+    doubles as the cache materializer.
 
     Margins are clamped to ±40 before the sigmoid ON BOTH ENGINES:
     bit-identical to the unclamped value whenever |z| < 40 (sigmoid
@@ -253,27 +277,32 @@ def logreg_train(
     """
     import math
 
-    feats = (
-        _features(
-            df.withColumn("_y", F.col(label_col).cast("boolean")),
-            text_col,
-            id_col,
-            n_buckets,
-            extra_cols=("_y",),
-        )
-        .withColumn(
-            # per-doc L1 feature count for the majorant — an unordered
-            # window over doc_id (NOT a hot key: one doc's features are
-            # bounded by its length), saving the groupBy+join round trip
-            "_L",
-            F.count(F.lit(1)).over(Window.partitionBy(id_col)),
-        )
-        .persist()
-    )
+    # persist, not localCheckpoint: the cache's InMemoryRelation keeps
+    # the id-hash outputPartitioning visible to Catalyst, so the
+    # per-iteration groupBy(id)/join(id) reuse it exchange-free — a
+    # checkpointed LogicalRDD loses it (measured +40% on the sf0.1
+    # query from the re-added per-iteration exchanges)
+    feats = _features(
+        df.withColumn("_y", F.col(label_col).cast("boolean")),
+        text_col,
+        id_col,
+        n_buckets,
+        extra_cols=("_y",),
+        # per-doc L1 feature count for the majorant, computed as array
+        # arithmetic BEFORE the explode (see _features) — no window, no
+        # sort of the occurrence stream
+        count_col="_L",
+    ).persist()
     docs = df.select(
         F.col(id_col), F.col(label_col).cast("boolean").alias("_y")
     ).persist()
-    n_train = docs.count()
+    # one combined setup aggregate (count + positive count in one pass)
+    _nrow = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_y"), 1).otherwise(0)).alias("_np"),
+    ).first()
+    n_train = int(_nrow["_n"])
+    npos = int(_nrow["_np"] or 0)
     total_occ = feats.count()
     # scale the NB init to O(1) per-doc margins: init_c / mean L1 length
     scale = init_c / (float(total_occ) / float(n_train))
@@ -284,10 +313,13 @@ def logreg_train(
         (F.sum(F.col("_L") + 1) / F.lit(4.0)).alias("h"),
     )
     spark = df.sparkSession
+    # counts is bounded by n_buckets rows (a MODEL-sized table, like the
+    # weights it becomes) — broadcast it so the dense completion is a
+    # narrow map over range() instead of a 2-exchange sort-merge join
     dense = (
-        spark.range(n_buckets)
+        spark.range(0, n_buckets, 1, numPartitions=8)
         .withColumnRenamed("id", "feature")
-        .join(counts, "feature", "left")
+        .join(F.broadcast(counts), "feature", "left")
         .select(
             "feature",
             F.coalesce("c1", F.lit(0)).alias("c1"),
@@ -296,6 +328,16 @@ def logreg_train(
         )
     )
     totals = dense.agg(F.sum("c1").alias("n1"), F.sum("c0").alias("n0"))
+    bias0 = math.log((npos + alpha) / ((n_train - npos) + alpha)) * scale
+    h_bias = (float(total_occ) + float(n_train)) / 4.0
+    spark_sess = df.sparkSession
+    # The bias rides the weight table as the feature = -1 sentinel row
+    # (pmod(h, n_buckets) is always >= 0, so no document feature can
+    # collide with it); its h IS the Böhning-Lindsay bias majorant, so
+    # the shared `w - g/h` update below performs `b - Σr/hb` exactly.
+    bias_row = spark_sess.createDataFrame(
+        [(-1, float(bias0), float(h_bias))], "feature long, w double, h double"
+    )
     weights = (
         dense.crossJoin(F.broadcast(totals))
         .select(
@@ -309,30 +351,34 @@ def logreg_train(
             ).alias("w"),
             "h",
         )
+        .unionByName(bias_row)
         .localCheckpoint(eager=True)
     )
-    npos = docs.where("_y").count()
-    bias = math.log((npos + alpha) / ((n_train - npos) + alpha)) * scale
-    h_bias = (float(total_occ) + float(n_train)) / 4.0
     losses: list[float] = []
     for _ in range(n_iters):
+        wt = weights.where(F.col("feature") >= 0)
+        b_row = F.broadcast(
+            weights.where(F.col("feature") < 0).select(F.col("w").alias("_b"))
+        )
         wsums = (
-            feats.join(F.broadcast(weights), "feature")
+            feats.join(F.broadcast(wt), "feature")
             .groupBy(id_col)
             .agg(F.sum("w").alias("_s"))
         )
         # residual r = sigmoid(clamp(bias + Σw)) - y; op order mirrors
-        # the oracle twin exactly
+        # the oracle twin exactly (the broadcast bias scalar carries the
+        # identical double the old F.lit(bias) literal held)
         z = F.greatest(
             F.lit(-40.0),
             F.least(
                 F.lit(40.0),
-                F.lit(bias) + F.coalesce(F.col("_s"), F.lit(0.0)),
+                F.col("_b") + F.coalesce(F.col("_s"), F.lit(0.0)),
             ),
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         resid = (
             docs.join(wsums, id_col, "left")
+            .crossJoin(b_row)
             .select(
                 id_col,
                 F.col("_y"),
@@ -358,14 +404,21 @@ def logreg_train(
                     ).alias("l")
                 ).first()[0]
             )
-        grad_b = resid.agg(F.sum("_r").alias("g")).first()[0]
         grad = (
             feats.join(resid.select(id_col, "_r"), id_col)
             .groupBy("feature")
             .agg(F.sum("_r").alias("_g"))
         )
+        grad_all = grad.unionByName(
+            resid.agg(F.sum("_r").alias("_g")).select(
+                F.lit(-1).cast("long").alias("feature"), "_g"
+            )
+        )
+        # grad_all is <= n_buckets + 1 rows (model-sized): broadcasting
+        # it keeps the update a narrow map over the checkpointed weights
+        # instead of shuffling both sides of the join
         weights = (
-            weights.join(grad, "feature", "left")
+            weights.join(F.broadcast(grad_all), "feature", "left")
             .select(
                 "feature",
                 (
@@ -376,10 +429,11 @@ def logreg_train(
             )
             .localCheckpoint(eager=True)
         )
-        bias = bias - grad_b / h_bias
         resid.unpersist()
     feats.unpersist()
     docs.unpersist()
+    bias = float(weights.where(F.col("feature") < 0).first()["w"])
+    weights = weights.where(F.col("feature") >= 0)
     if track_loss:
         return weights, bias, losses
     return weights, bias
