@@ -397,7 +397,14 @@ def exact_percentiles(
     if tmp_group:
         df = df.withColumn("_g", F.lit(0))
         groups = ["_g"]
-    counts = df.groupBy(*groups, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    counts = (
+        # NULL values carry no defined rank (and order differently
+        # across engines): they are ignored by the statistics (ADVICE
+        # r6 contract, shared with mad_outliers)
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     out = percentiles_from_counts(counts, value_col, "_c", qs, groups)
     return out.drop("_g") if tmp_group else out
 
@@ -413,21 +420,99 @@ def percentiles_from_counts(
     (group, value, count) table — the reuse point when a caller derives
     a second statistic's value counts from the first's (mad_outliers:
     deviation counts are a pure function of the value-count table, so
-    the corpus is never re-scanned for pass 2)."""
-    cum = partitioned_prefix_sum(counts, groups, value_col, [count_col])
-    tot = counts.groupBy(*groups).agg(F.sum(count_col).alias("_n"))
-    j = cum.join(tot, groups)
+    the corpus is never re-scanned for pass 2).
+
+    Shape (round-7 rewrite): a quantile only needs the value at ONE
+    rank per group, so instead of materializing per-row global running
+    sums over the whole counts table (window + per-bucket offset fold +
+    totals join — three full-counts-table exchanges), locate the rank's
+    TARGET BUCKET on the tiny per-(group, bucket) total table and
+    window only the target buckets' rows:
+    1. range-bucket values via global approx-quantiles (one O(B) driver
+       call — balance only, never the answer);
+    2. bucket totals (map-side combined, <= B rows/group) -> exclusive
+       offsets + group N by a window over those <= B rows;
+    3. each requested q's rank t = ceil(q*N) falls in exactly one
+       bucket (off < t <= off + bucket_total); emit (group, bucket, q,
+       residual rank r = t - off) — an O(groups x qs) table,
+       broadcast-joined back so ONLY target-bucket rows (~1/B of the
+       counts table) flow through the within-bucket running sum;
+    4. answer per (group, q): min value with local cum >= r. Identical
+       to "min value whose global cum reaches ceil(q*N)" because the
+       bucketing is order-preserving in ``value_col``.
+    No window ever sees more than one bucket of one group, exactly the
+    old bound, but the full-table prefix-sum pass and its offsets join
+    are gone (sf0.1: exact_percentiles 2.95s -> see OPTIMIZATION_r07).
+
+    ``value_col`` must be non-null (NULL values would need an engine-
+    specific ordering); callers drop NULL rows first.
+    """
+    if not (counts.storageLevel.useMemory or counts.storageLevel.useDisk):
+        counts = tracked_persist(counts)  # quantiles + totals + join reads
+    bkt = _quantile_bucket(counts, value_col, 64)
+    bt = counts.groupBy(*groups, bkt.alias("_pb")).agg(
+        F.sum(count_col).alias("_s")
+    )
+    ow = Window.partitionBy(*groups).orderBy("_pb")
+    bt_off = bt.select(
+        *groups,
+        "_pb",
+        "_s",
+        F.coalesce(
+            F.sum("_s").over(ow.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_s")
+        .over(ow.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    # one struct per requested quantile; exactly one bucket per (group,
+    # q) satisfies off < t <= off + s (empty buckets never match)
+    q_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("_qi"),
+                F.ceil(F.lit(float(q)) * F.col("_n")).alias("_t"),
+            )
+            for i, q in enumerate(qs)
+        ]
+    )
+    targets = bt_off.select(
+        *groups,
+        "_pb",
+        "_off",
+        F.explode(
+            F.filter(
+                q_arr,
+                lambda s: (F.col("_off") < s["_t"])
+                & ((F.col("_off") + F.col("_s")) >= s["_t"]),
+            )
+        ).alias("_q"),
+    ).select(
+        *groups,
+        "_pb",
+        F.col("_q._qi").alias("_qi"),
+        (F.col("_q._t") - F.col("_off")).alias("_r"),
+    )
+    j = counts.withColumn("_pb", bkt).join(
+        F.broadcast(targets), [*groups, "_pb"]
+    )
+    cw = (
+        Window.partitionBy(*groups, "_qi")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = j.withColumn("_cum", F.sum(count_col).over(cw))
     aggs = [
         F.min(
             F.when(
-                F.col(f"cum_{count_col}")
-                >= F.ceil(F.lit(float(q)) * F.col("_n")),
+                (F.col("_qi") == i) & (F.col("_cum") >= F.col("_r")),
                 F.col(value_col),
             )
         ).alias(f"p{int(round(q * 100))}")
-        for q in qs
+        for i, q in enumerate(qs)
     ]
-    return j.groupBy(*groups).agg(*aggs)
+    return cum.groupBy(*groups).agg(*aggs)
 
 
 def mad_outliers(
@@ -465,7 +550,14 @@ def mad_outliers(
     tmp_group = not groups
     w = df.withColumn("_g", F.lit(0)) if tmp_group else df
     g = ["_g"] if tmp_group else groups
-    counts = w.groupBy(*g, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    counts = (
+        # NULL values are excluded from BOTH statistics (they only ever
+        # produced engine-dependent ordering and inflated _n — ADVICE
+        # r6); they still appear in the output, never flagged
+        w.where(F.col(value_col).isNotNull())
+        .groupBy(*g, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     med = percentiles_from_counts(
         counts, value_col, "_c", (0.5,), g
     ).withColumnRenamed("p50", "_med")
@@ -483,7 +575,10 @@ def mad_outliers(
         dev_counts, "_dev", "_c", (0.5,), g
     ).withColumnRenamed("p50", "_mad")
     stats = med.join(mad, g)
-    j = w.join(stats, g)
+    # left join: a group whose values are ALL NULL has no stats row now
+    # that NULLs are excluded from the counts — its rows stay in the
+    # output with NULL stats and a NULL (never-true) flag
+    j = w.join(stats, g, "left")
     return j.select(
         *df.columns,
         F.col("_med").alias("group_median"),
