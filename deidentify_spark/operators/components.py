@@ -49,6 +49,12 @@ def _large_star(edges: DataFrame) -> DataFrame:
     Works on the symmetric view so every node's full neighborhood is
     visible; emitted edges keep the (big, small) orientation because
     m <= u < v by construction.
+
+    No trailing distinct (round-7): duplicate (v, m) rows — bounded by
+    one per original edge, never a blowup — are absorbed by
+    ``_small_star``'s min-aggregate and its own final distinct, so the
+    per-round edge SET (what the fixpoint test hashes) is identical
+    while each round runs one exchange fewer.
     """
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -62,7 +68,6 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
@@ -91,6 +96,32 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _ckpt_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Eagerly localCheckpoint ``edges`` with the set fingerprint riding
+    the SAME job as a CollectMetrics (observe) node — the round's
+    convergence probe costs zero extra actions (round-7; previously
+    every round paid a second full pass for the fingerprint
+    aggregate)."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)).alias("h"),
+    )
+    out = observed.localCheckpoint(eager=True)
+    try:
+        m = obs.get
+        return out, (int(m["n"]), int(m["h"]))
+    except Exception:
+        # AQE's empty-relation propagation can drop the CollectMetrics
+        # node when the edge set is globally empty (same caveat as
+        # minhash_lsh_candidates' cap metrics) — fall back to one tiny
+        # aggregate over the already-checkpointed (empty) set
+        return out, _fingerprint(out)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -105,18 +136,15 @@ def connected_components(
     graph that fits in 2^60 ids many times over; hitting it means a bug,
     so it raises rather than returning a partial closure.
     """
-    edges = _canonical(
-        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    edges, fp = _ckpt_with_fingerprint(
+        _canonical(pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst")))
     )
-    if not edges.head(1):
+    if fp[0] == 0:
         return edges.select(
             F.col("src").alias("node"), F.col("dst").alias("component")
         )
-    edges = edges.localCheckpoint(eager=True)
-    fp = _fingerprint(edges)
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        nfp = _fingerprint(edges)
+        edges, nfp = _ckpt_with_fingerprint(_small_star(_large_star(edges)))
         if nfp == fp:
             break
         fp = nfp
