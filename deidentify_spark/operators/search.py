@@ -51,6 +51,53 @@ __all__ = [
 ]
 
 
+def _tf_and_stats(
+    df: DataFrame, terms: list[str], text_col: str, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, stats) for the BM25 operators from ONE corpus scan.
+
+    A slim PERSISTED projection (id, dl, matched-terms array) carries
+    everything both downstream needs: ``stats`` (N, avgdl — previously
+    a SECOND full scan + split of the corpus just for the average
+    doclength) aggregates it, and the (doc, term, tf) table explodes
+    only the matched terms (most docs contribute an empty array). The
+    split runs once per doc behind a two-step select (CollapseProject
+    does not inline a non-cheap expression referenced twice).
+
+    tf is persisted too: it feeds the per-term doc-freq aggregate and
+    the scoring join, branches Catalyst prunes differently (the r5
+    measurement: 25.7s vs 14.8s at 50k pages without it). Both caches
+    are slim — O(n_docs) x ~20 B and |matching docs| x |Q| rows — and
+    registered for runtime.release_tracked(). (A window-count over term
+    instead would collapse each term's rows into ONE partition — a
+    skew bomb for a common term at corpus scale — hence aggregate +
+    broadcast, not window.)
+    """
+    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
+    slim = tracked_persist(
+        df.select(F.col(id_col), words.alias("_w")).select(
+            id_col,
+            F.size("_w").alias("_dl"),
+            F.filter("_w", lambda w: w.isin(terms)).alias("_mw"),
+        )
+    )
+    stats = slim.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    toks = slim.select(
+        F.col(id_col), "_dl", F.explode("_mw").alias("_term")
+    )
+    # tf itself is NOT persisted anymore: its two consumers (doc-freq
+    # aggregate, scoring join) both re-derive it from the CACHED slim
+    # table — exploding a few matched terms per doc — so the branch
+    # recompute the r5 measurement caught (a full corpus explode per
+    # branch) cannot recur, and the second cache build is saved.
+    tf = toks.groupBy(id_col, "_dl", "_term").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    return tf, stats
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],
@@ -72,28 +119,7 @@ def bm25_topk(
     lowercase-exact against whitespace tokens.
     """
     terms = sorted({t.lower() for t in query_terms})
-    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
-    toks = df.select(
-        F.col(id_col),
-        F.size(words).alias("_dl"),
-        F.explode(words).alias("_term"),
-    ).where(F.col("_term").isin(terms))
-    # PERSISTED: tf feeds two branches (the per-term doc-freq aggregate
-    # and the scoring join) that Catalyst prunes differently, so
-    # without the cache the corpus explode re-executes per branch
-    # (measured 25.7s vs 14.8s single-pass at 50k pages / 8 cores).
-    # tf is <= |matching docs| x |Q| rows — the same volume its own
-    # shuffle already wrote — so MEMORY_AND_DISK is one extra
-    # write+read of a small table, not a second corpus scan. (A
-    # window-count over term instead would collapse each term's rows
-    # into ONE partition — a skew bomb for a common term at corpus
-    # scale — hence aggregate + broadcast, not window.)
-    tf = tracked_persist(
-        toks.groupBy(id_col, "_dl", "_term").agg(F.count(F.lit(1)).alias("_tf"))
-    )
-    stats = df.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg(F.size(words)).alias("_avgdl")
-    )
+    tf, stats = _tf_and_stats(df, terms, text_col, id_col)
     idf = (
         tf.groupBy("_term")
         .agg(F.count(F.lit(1)).alias("_df"))
@@ -207,18 +233,7 @@ def bm25_topk_multi(
     tf-counted once and scored per query.
     """
     all_terms = sorted({t.lower() for terms in queries.values() for t in terms})
-    words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
-    toks = df.select(
-        F.col(id_col),
-        F.size(words).alias("_dl"),
-        F.explode(words).alias("_term"),
-    ).where(F.col("_term").isin(all_terms))
-    tf = tracked_persist(
-        toks.groupBy(id_col, "_dl", "_term").agg(F.count(F.lit(1)).alias("_tf"))
-    )
-    stats = df.agg(
-        F.count(F.lit(1)).alias("_n"), F.avg(F.size(words)).alias("_avgdl")
-    )
+    tf, stats = _tf_and_stats(df, all_terms, text_col, id_col)
     idf = (
         tf.groupBy("_term")
         .agg(F.count(F.lit(1)).alias("_df"))
