@@ -377,18 +377,20 @@ def test_bm25_plan_shape(spark):
 
 
 def test_bm25_multi_plan_single_tf_and_partial_topk(spark):
-    """Batch BM25 must materialize the (doc, term, tf) aggregate ONCE
-    for all queries (InMemoryTableScan on both consuming branches — a
-    live Generate above the cache boundary means the corpus explode
-    re-ran per branch), and the per-query top-k must carry Spark's
-    WindowGroupLimit PARTIAL stage (map-side per-partition top-k before
-    the exchange): without it, a query matching most of the corpus
-    funnels every matching doc into one window task."""
+    """Batch BM25 must tokenize the corpus ONCE for all queries: the
+    split lives inside the persisted slim projection (round-7 single-
+    scan shape), so NO split() may appear above the cache boundary —
+    the branches may re-explode the cached matched-term arrays (a few
+    terms per doc), but a live split above the cache means the corpus
+    tokenization re-ran per branch. The per-query top-k must carry
+    Spark's WindowGroupLimit PARTIAL stage (map-side per-partition
+    top-k before the exchange): without it, a query matching most of
+    the corpus funnels every matching doc into one window task."""
     df = entry_mod.bm25_multi_search_documents(spark, SF)
     plan = _plan(df)
-    assert "InMemoryTableScan" in plan, "tf aggregate not persisted"
+    assert "InMemoryTableScan" in plan, "slim projection not persisted"
     live = plan.split("InMemoryTableScan")[0]
-    assert "Generate" not in live, "token explode re-ran outside the cache"
+    assert "split(" not in live, "corpus tokenization re-ran outside the cache"
     assert "WindowGroupLimit" in plan and "Partial" in plan, (
         "map-side top-k prune missing — hot-query window skew is back"
     )
