@@ -106,6 +106,24 @@ def _ngram_hashes(c: np.ndarray) -> np.ndarray:
     return np.concatenate(parts)
 
 
+def _sparse_hist(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted unique bucket ids as int64, float32 counts) — the lean
+    inline form of ``np.unique(h, return_counts=True)``. Identical
+    values/order (sort -> boundary mask -> run lengths is exactly what
+    _unique1d does) but without its ~35 µs/call of keyword plumbing,
+    and the sort runs on int32 (bucket ids are < 2^15): measured ~2x
+    on the per-doc scoring path, which calls this once per document."""
+    if h.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float32)
+    hs = np.sort(h.astype(np.int32))
+    mask = np.empty(hs.size, dtype=bool)
+    mask[0] = True
+    np.not_equal(hs[1:], hs[:-1], out=mask[1:])
+    pos = np.flatnonzero(mask)
+    cnt = np.diff(np.append(pos, hs.size)).astype(np.float32)
+    return hs[mask].astype(np.int64), cnt
+
+
 def featurize(s: str) -> np.ndarray:
     """Hashed char 1/2/3-gram count vector, L2-normalized (float32)."""
     c = _codepoints(s.lower())
@@ -222,6 +240,8 @@ def _looks_out_of_set(text: str, pred: str) -> bool:
     # at its weak in-set label (measured: without it, 50 of 500 driver
     # sf0.01 docs — TPC-H keyword strings — flipped to 'und', some from
     # en@0.46, changing keep/drop on that corpus; with it, 0 flips).
+    if snippet.isascii():  # C-speed common case: no ord>127 char at all
+        return False
     if not any(ch.isalpha() and ord(ch) > 127 for ch in snippet):
         return False
     words = re.findall(r"[^\W\d_]+", snippet, re.UNICODE)
@@ -367,9 +387,7 @@ def predict_batch(texts: list[str]) -> tuple[list[str], list[float]]:
             # centroid scoring or the softmax batch below
             preds[j], confs[j] = gated
             continue
-        idx, cnt = np.unique(_ngram_hashes(c), return_counts=True)
-        idx = idx.astype(np.int64)
-        cnt = cnt.astype(np.float32)
+        idx, cnt = _sparse_hist(_ngram_hashes(c))
         norm = float(np.sqrt((cnt * cnt).sum()))
         if norm == 0.0:
             continue

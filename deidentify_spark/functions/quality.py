@@ -195,7 +195,7 @@ def quality_pre_reason_py(text: str, cfg: QualityConfig) -> str | None:
         return "too_few_words"
     if n_words > cfg.max_words:
         return "too_many_words"
-    total_chars = sum(len(w) for w in words)
+    total_chars = sum(map(len, words))  # C-level, same sum
     mean_len = total_chars / n_words
     if mean_len < cfg.min_mean_word_length or mean_len > cfg.max_mean_word_length:
         return "mean_word_length"
