@@ -552,6 +552,34 @@ def verify_oracle_sql(
     """
 
 
+def _distinct_shingle_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, shingle) with shingle = xxhash64 of the n-word gram, one row
+    per DISTINCT (doc, gram) — the shared input of the Jaccard family.
+
+    Round-7 shape: (id, shingle) pairs are unique ACROSS docs by
+    construction, so deduping each doc's hash array map-side
+    (array_distinct over the bound _words attribute) yields the
+    identical distinct set without the global (id, shingle)-keyed
+    distinct exchange the exploded ``.distinct()`` form paid — one
+    full shuffle of the shingle stream removed.
+    """
+    base = _materialized_words(df, text_col, id_col)
+    grams = F.when(
+        F.size("_words") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_words") - n),
+            lambda i: F.xxhash64(
+                F.concat_ws(" ", F.slice("_words", i + 1, n))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return base.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     n: int = 3,
@@ -609,11 +637,7 @@ def ngram_jaccard_pairs(
     # DuckDB oracle twin keeps grouping by the exact string, and stays
     # green because no collision occurs at test scale (or realistically
     # any scale).
-    sh = (
-        word_shingles(df, n, text_col, id_col, distinct=False)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
+    sh = _distinct_shingle_hashes(df, n, text_col, id_col)
     if cap_strategy == "window":
         w = Window.partitionBy("shingle")
         sh = (
@@ -675,11 +699,7 @@ def _ngram_jaccard_pairs_textbook(
     registered as a driver query or used on a materialized 100-TB run;
     tests use it as ground truth for the capped operator, the same role
     the cartesian form plays for the blocked-GEMM embedding dedup."""
-    sh = (
-        word_shingles(df, n, text_col, id_col, distinct=False)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
+    sh = _distinct_shingle_hashes(df, n, text_col, id_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -725,11 +745,7 @@ def ngram_jaccard_dropped_shingles(
     surfaced so a 100-TB run can audit the guard instead of silently
     losing signal. Distinct (doc, shingle) memberships, same identity
     (xxhash64) and whitespace semantics as the pair miner."""
-    sh = (
-        word_shingles(df, n, text_col, id_col, distinct=False)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
+    sh = _distinct_shingle_hashes(df, n, text_col, id_col)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("_df"))
