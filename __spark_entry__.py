@@ -2323,7 +2323,9 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_extendedprice").alias("w"))
     )
-    pr = pagerank(edges, weight="w")
+    # bounded_graph: nodes are TPC-H nations (25 by spec, never data-
+    # dependent), so the iteration joins legitimately broadcast
+    pr = pagerank(edges, weight="w", bounded_graph=True)
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         pr.join(nat, pr["node"] == nat["n_nationkey"])

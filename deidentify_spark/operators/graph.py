@@ -37,6 +37,7 @@ def pagerank(
     damping: float = 0.85,
     n_iter: int = 4,
     checkpoint_every: int = 1,
+    bounded_graph: bool = False,
 ) -> DataFrame:
     """Weighted PageRank; returns (node, rank).
 
@@ -45,6 +46,14 @@ def pagerank(
     (no convergence test: a tolerance check would force an action per
     round; production runs pick n_iter from the known spectral-gap
     bound, and a fixed count keeps the oracle SQL expressible).
+
+    ``bounded_graph=True`` is the caller's assertion that the node set
+    is bounded by CONSTRUCTION (a nation/TLD/label graph — never a
+    per-host or per-page graph): the per-iteration rank⋈transition and
+    node⋈contribution joins then carry explicit broadcast hints,
+    collapsing each round's two shuffle exchanges into broadcast
+    builds. Default False — on a 10^9-node host graph those tables are
+    O(nodes)/O(edges) and must shuffle-join.
     """
     w = F.col(weight).cast("double") if weight else F.lit(1.0)
     e = (
@@ -86,13 +95,15 @@ def pagerank(
             ranks.where(F.col("_dang"))
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
+        tr = F.broadcast(trans) if bounded_graph else trans
         contrib = (
-            ranks.join(trans, ranks["node"] == trans["src"])
+            ranks.join(tr, ranks["node"] == tr["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("p")).alias("contrib"))
         )
+        cb = F.broadcast(contrib) if bounded_graph else contrib
         ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            nodes.join(cb, nodes["node"] == cb["dst"], "left")
             .crossJoin(F.broadcast(dmass))
             .select(
                 "node",
