@@ -148,22 +148,34 @@ def nb_train(
     totals = dense.agg(
         F.sum("c1").alias("n1"), F.sum("c0").alias("n0")
     )
-    weights = dense.crossJoin(F.broadcast(totals)).select(
-        "feature",
-        (
-            F.log((F.col("c1") + alpha) / (F.col("n1") + alpha * n_buckets))
-            - F.log((F.col("c0") + alpha) / (F.col("n0") + alpha * n_buckets))
-        ).alias("w"),
+    weights = (
+        dense.crossJoin(F.broadcast(totals))
+        .select(
+            "feature",
+            (
+                F.log((F.col("c1") + alpha) / (F.col("n1") + alpha * n_buckets))
+                - F.log((F.col("c0") + alpha) / (F.col("n0") + alpha * n_buckets))
+            ).alias("w"),
+        )
+        # lazy lineage cut (O(n_buckets) rows, stays distributed): every
+        # consumer action re-broadcasts the weight table, and without
+        # the cut each rebuild re-ran the train-corpus explode; the
+        # scorer's plan also stops embedding the whole train subtree
+        .localCheckpoint(eager=False)
     )
     # Prior log-odds, Laplace-smoothed like the feature weights: a
     # single-class training set yields a large-but-finite bias instead
     # of a ±Inf/NULL that would silently propagate NULL into every
     # nb_score downstream.
-    bias = df.select(F.col(label_col).cast("boolean").alias("_y")).agg(
-        F.log(
-            (F.sum(F.when(F.col("_y"), 1).otherwise(0)) + F.lit(alpha))
-            / (F.sum(F.when(F.col("_y"), 0).otherwise(1)) + F.lit(alpha))
-        ).alias("bias")
+    bias = (
+        df.select(F.col(label_col).cast("boolean").alias("_y"))
+        .agg(
+            F.log(
+                (F.sum(F.when(F.col("_y"), 1).otherwise(0)) + F.lit(alpha))
+                / (F.sum(F.when(F.col("_y"), 0).otherwise(1)) + F.lit(alpha))
+            ).alias("bias")
+        )
+        .localCheckpoint(eager=False)  # 1 row; same rationale as weights
     )
     return weights, bias
 

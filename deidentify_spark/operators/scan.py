@@ -558,9 +558,18 @@ def mad_outliers(
         .groupBy(*g, value_col)
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    med = percentiles_from_counts(
-        counts, value_col, "_c", (0.5,), g
-    ).withColumnRenamed("p50", "_med")
+    # O(n_groups)-row stat tables get a LAZY lineage cut: the deviation
+    # chain and the final flag join would otherwise embed the whole
+    # median subplan (quantile windows, target-bucket joins) inside
+    # their own plans — at sf0.1 the driver spent ~1.4s of measured
+    # inter-job gaps just planning/compiling the doubled tree. The
+    # checkpoint stays distributed (no driver data at any group count)
+    # and materializes inside the first action that needs it.
+    med = (
+        percentiles_from_counts(counts, value_col, "_c", (0.5,), g)
+        .withColumnRenamed("p50", "_med")
+        .localCheckpoint(eager=False)
+    )
     dev_counts = (
         counts.join(med, g)
         .select(
@@ -571,9 +580,11 @@ def mad_outliers(
         .groupBy(*g, "_dev")
         .agg(F.sum("_c").alias("_c"))
     )
-    mad = percentiles_from_counts(
-        dev_counts, "_dev", "_c", (0.5,), g
-    ).withColumnRenamed("p50", "_mad")
+    mad = (
+        percentiles_from_counts(dev_counts, "_dev", "_c", (0.5,), g)
+        .withColumnRenamed("p50", "_mad")
+        .localCheckpoint(eager=False)
+    )
     stats = med.join(mad, g)
     # left join: a group whose values are ALL NULL has no stats row now
     # that NULLs are excluded from the counts — its rows stay in the
