@@ -96,12 +96,21 @@ def _dsir_sums(
     # feature a scored doc can emit is by construction present in the
     # raw counts, so the ratio table covers all lookups.
     totals = counts.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
-    ratio = counts.crossJoin(F.broadcast(totals)).select(
-        "feature",
-        (
-            F.log((F.col("ct") + alpha) / (F.col("nt") + alpha * n_buckets))
-            - F.log((F.col("cr") + alpha) / (F.col("nr") + alpha * n_buckets))
-        ).alias("_llr"),
+    ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "feature",
+            (
+                F.log((F.col("ct") + alpha) / (F.col("nt") + alpha * n_buckets))
+                - F.log((F.col("cr") + alpha) / (F.col("nr") + alpha * n_buckets))
+            ).alias("_llr"),
+        )
+        # lazy lineage cut (<= n_buckets rows, stays distributed): the
+        # ratio model is broadcast-rebuilt by every consumer action
+        # (dsir_select runs two: the top-k threshold and the output) —
+        # without the cut each rebuild re-ran the corpus feature
+        # aggregate; same posture as nb_train's checkpointed weights
+        .localCheckpoint(eager=False)
     )
     return (
         feats.join(F.broadcast(ratio), "feature")

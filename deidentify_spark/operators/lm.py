@@ -105,8 +105,16 @@ def kn_train(
     aggregate the bigram-TYPE table (vocabulary-sized), so the hot
     "the"-context rows collapse before any shuffle of corpus volume.
     """
-    big = doc_bigrams(train_df, text_col, id_col).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
+    big = (
+        doc_bigrams(train_df, text_col, id_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        # lazy lineage cut: the bigram-TYPE table feeds FOUR consumers
+        # (the scoring join, ctx, cont, vocab/scalars) whose pruned
+        # subplans Catalyst does not share — without the cut the train
+        # bigram explode+aggregate re-ran per branch. Stays distributed
+        # (O(bigram types) rows, never collected).
+        .localCheckpoint(eager=False)
     )
     ctx = big.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_left")
