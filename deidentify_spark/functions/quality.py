@@ -313,7 +313,11 @@ def c4_line_trim(
     Adds: ``c4_text`` (kept lines re-joined with \\n),
     ``c4_lines_kept``, ``c4_lines_dropped``, ``c4_keep``.
     """
-    lines = F.split(F.col(text_col), "\n")
+    # \r?\n, not \n (ADVICE r6): F.trim strips only spaces, so a CRLF
+    # page's '.\r' line would pass Java's $ (which matches before a
+    # final line terminator) but fail the DuckDB twin's RE2 $, and the
+    # stray \r would survive into c4_text, breaking digest parity.
+    lines = F.split(F.col(text_col), "\r?\n")
 
     def _keep(ln: Column) -> Column:
         t = F.trim(ln)

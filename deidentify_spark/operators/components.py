@@ -220,8 +220,17 @@ def keep_best_per_cluster(
 
     Ties break to the SMALLEST id via the negated-id struct field, so
     the choice is total and engine-independent whenever ``score_col``
-    is deterministic.
+    is deterministic. ``id_col`` MUST be numeric (ADVICE r6): the
+    negation in the tie-break silently casts a string id to NULL,
+    making ties arbitrary — enforced below.
     """
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type in ("string", "binary", "boolean", "date", "timestamp"):
+        raise ValueError(
+            f"keep_best_per_cluster requires a numeric {id_col!r} for its "
+            f"total tie-break; got {id_type} — map ids to a numeric key "
+            "(e.g. xxhash64) first"
+        )
     comp = connected_components(pairs)
     members = df.select(
         F.col(id_col).alias("node"), F.col(score_col).alias("_s")

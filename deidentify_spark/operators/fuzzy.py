@@ -215,6 +215,16 @@ def fuzzy_join(
         raise ValueError("max_dist must be >= 0")
     d = max_dist
     blocks = list(block_cols or [])
+    # block columns ride the candidate selects/join keys verbatim — a
+    # name colliding with an internal column would silently corrupt
+    # the join (ADVICE r6)
+    reserved = {"i", "l", "seg", "id_a", "id_b", "_sa", "_sb", "_p"}
+    bad = sorted(set(blocks) & reserved)
+    if bad:
+        raise ValueError(
+            f"block_cols collide with fuzzy_join internals: {bad}; "
+            "rename or alias them before calling"
+        )
     ls = left.select(
         F.col(left_id).alias("id_a"),
         F.coalesce(F.col(left_col), F.lit("")).alias("_sa"),

@@ -396,6 +396,32 @@ def test_c4_line_trim_handcrafted(spark):
     assert not got[4].c4_keep
 
 
+def test_c4_line_trim_crlf(spark):
+    """CRLF pages (ADVICE r6): the \\r must neither defeat the
+    terminal-punctuation test nor leak into c4_text."""
+    from deidentify_spark.functions.quality import c4_line_trim
+
+    doc = "\r\n".join(
+        [
+            "First real sentence ends properly.",
+            "Second real sentence also ends properly.",
+            "Third real sentence ends properly too.",
+            "no punct trailing line",
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = c4_line_trim(df).collect()[0]
+    assert r.c4_lines_kept == 3 and r.c4_keep
+    assert "\r" not in r.c4_text
+    assert r.c4_text == "\n".join(
+        [
+            "First real sentence ends properly.",
+            "Second real sentence also ends properly.",
+            "Third real sentence ends properly too.",
+        ]
+    )
+
+
 def test_c4_line_trim_is_shuffle_free(spark):
     from deidentify_spark.functions.quality import c4_line_trim
 
