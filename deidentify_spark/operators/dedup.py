@@ -181,19 +181,26 @@ def _emit_bucket_pairs(grouped: DataFrame, arr_col: str, fields: str) -> DataFra
     hot bucket means a multi-GB cell / the 2^31 array-element wall
     instead of spill-friendly rows. ``fields`` references x.* and y.*
     and must produce ``doc_a``/``doc_b``; a strict doc_a < doc_b filter
-    drops self-pairs when the input carries duplicate ids."""
+    drops self-pairs when the input carries duplicate ids.
+
+    Round-7: the successor emission is a SECOND plain explode over the
+    slice, with the pair struct built by a scalar projection — the
+    previous ``transform(slice(...), y -> struct(...))`` built an
+    array of structs per member through the interpreted HOF evaluator
+    (complex lambdas fall off whole-stage codegen; measured ~1.1 s
+    single-task for the sf0.1 minhash bucket tail). Same rows, same
+    memory bound (the slice copy existed before too)."""
     step = grouped.select(
         F.col(arr_col), F.posexplode(arr_col).alias("_i", "x")
     )
     return (
         step.select(
+            "x",
             F.explode(
-                F.expr(
-                    f"transform(slice({arr_col}, _i + 2, size({arr_col}) - _i - 1), "
-                    f"y -> struct({fields}))"
-                )
-            ).alias("p")
+                F.expr(f"slice({arr_col}, _i + 2, size({arr_col}) - _i - 1)")
+            ).alias("y"),
         )
+        .select(F.expr(f"struct({fields})").alias("p"))
         .select("p.*")
         .where(F.col("doc_a") < F.col("doc_b"))
     )
@@ -489,6 +496,13 @@ def verify_candidate_pairs(
     )
     a = slim.select(F.col(id_col).alias("doc_a"), F.col("_pfx").alias("_pa"))
     b = slim.select(F.col(id_col).alias("doc_b"), F.col("_pfx").alias("_pb"))
+    # Lazy lineage cut on the candidate set (bounded by the upstream
+    # bucket cap, stays distributed): when AQE broadcasts the pair side
+    # of BOTH prefix joins — the right call at corpus scale, where the
+    # (id, prefix) table is O(n_docs) and the pairs are capped — each
+    # broadcast build would otherwise re-evaluate the entire candidate
+    # chain (measured: 2 x ~1.1 s of the minhash tail at sf0.1).
+    pairs = pairs.localCheckpoint(eager=False)
     joined = pairs.join(a, "doc_a").join(b, "doc_b")
     len_a, len_b = F.length("_pa"), F.length("_pb")
     max_len = F.greatest(len_a, len_b)
