@@ -301,9 +301,21 @@ def centroid_outliers(
     anything.
     """
     from deidentify_spark.operators.scan import mad_outliers
+    from deidentify_spark.runtime import tracked_persist
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
 
     v = F.col(vec_col).cast("array<double>")
     e = emb.select(F.col(id_col), F.col(group_col), v.alias("_v"))
+    # the centroid's own norm sqrt(c.c) is constant per group: fold it
+    # ONCE here (the identical sequential fold over the identical array
+    # — bit-for-bit the per-row value it replaces) instead of re-running
+    # the interpreted HOF dot per ROW inside ``cos`` (round 7)
     cen = (
         e.select(group_col, F.posexplode("_v").alias("_p", "_x"))
         .groupBy(group_col, "_p")
@@ -315,25 +327,23 @@ def centroid_outliers(
                 lambda s: s._m,
             ).alias("_c")
         )
+        .withColumn("_cn", F.sqrt(_dot(F.col("_c"), F.col("_c"))))
     )
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
 
     cos = F.round(
         _dot(F.col("_v"), F.col("_c"))
-        / (
-            F.sqrt(_dot(F.col("_v"), F.col("_v")))
-            * F.sqrt(_dot(F.col("_c"), F.col("_c")))
-        ),
+        / (F.sqrt(_dot(F.col("_v"), F.col("_v"))) * F.col("_cn")),
         decimals,
     )
-    scored = e.join(F.broadcast(cen), group_col).select(
-        id_col, group_col, cos.alias("centroid_cos")
+    # mad_outliers reads its input twice (the stats counts AND the final
+    # flag join) — for most callers the input is a cheap scan, but here
+    # it is the centroid broadcast join + three interpreted HOF folds
+    # per row, so recomputing it doubled the query's whole compute
+    # (round 7; the persist is slim: id, group, one double)
+    scored = tracked_persist(
+        e.join(F.broadcast(cen), group_col).select(
+            id_col, group_col, cos.alias("centroid_cos")
+        )
     )
     return mad_outliers(scored, "centroid_cos", group_cols=[group_col], k=k)
 
