@@ -147,29 +147,33 @@ def lm_train_tables(df, text_col: str = "text"):
         F.explode(F.array(F.struct(h.alias("_h")))).alias("_s")
     ).select(F.col("_s._h").alias("_h"))
     n = F.size("_h")
-    uni_slots = F.transform(
-        F.col("_h"), lambda x: x.bitwiseAND(F.lit(int(_MASK)))
-    )
-    bi_slots = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: (F.element_at(F.col("_h"), i + 1) * F.lit(1000003))
-            .bitwiseXOR(F.element_at(F.col("_h"), i + 2))
-            .bitwiseAND(F.lit(int(_MASK))),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    tagged = F.concat(
-        F.transform(
-            uni_slots, lambda s: F.struct(F.lit(0).alias("k"), s.alias("slot"))
-        ),
-        F.transform(
-            bi_slots, lambda s: F.struct(F.lit(1).alias("k"), s.alias("slot"))
-        ),
+    # Round-7: ONE scalar explode over the index range [0, n + n_bi)
+    # — index i < n is unigram slot _h[i] & MASK, index i >= n is
+    # bigram slot (_h[i-n]*1000003 ^ _h[i-n+1]) & MASK — replacing the
+    # four chained transform(lambda) array builds (uni slots, bi
+    # slots, two struct-tagging passes): higher-order functions are
+    # CodegenFallback, so every slot evaluated interpreted (see
+    # classifier._features for the measured CPU delta of the same
+    # rewrite). The single crc32 transform building _h stays — the
+    # adjacent-word gathers below need the bound array. Same (k, slot)
+    # multiset; n = 0 (no [a-z']+ match) emits nothing via the
+    # n_slots >= 1 guard exactly as the old concat-of-empties did.
+    n_slots = n + F.when(n >= 2, n - 1).otherwise(0)
+    idx = F.when(
+        n_slots >= 1, F.sequence(F.lit(0), n_slots - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    gi = F.col("_i")
+    kind = (gi >= n).cast("int")
+    slot = F.when(
+        gi < n, F.element_at("_h", gi + 1).bitwiseAND(F.lit(int(_MASK)))
+    ).otherwise(
+        (F.element_at("_h", gi - n + 1) * F.lit(1000003))
+        .bitwiseXOR(F.element_at("_h", gi - n + 2))
+        .bitwiseAND(F.lit(int(_MASK)))
     )
     counts = (
-        bar.select(F.explode(tagged).alias("e"))
-        .select(F.col("e.k").alias("k"), F.col("e.slot").alias("slot"))
+        bar.select("_h", F.explode(idx).alias("_i"))
+        .select(kind.alias("k"), slot.alias("slot"))
         .groupBy("k", "slot")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()

@@ -69,34 +69,44 @@ def _features(
     from deidentify_spark.operators.dedup import _materialized_words
 
     base = _materialized_words(df, text_col, id_col, extra_cols=extra_cols)
-    bi = F.when(
-        F.size("_words") >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_words") - 2),
-            lambda i: F.concat_ws(" ", F.slice("_words", i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = F.concat(F.col("_words"), bi)
     extras = [F.col(c) for c in extra_cols]
-    counts: list = []
-    if count_col is not None:
-        # per-doc TOTAL gram count as a rider column: |uni| + |bi| =
-        # n + (n-1 when n >= 2) — pure arithmetic on the words array,
-        # exactly the number of rows this doc's explode emits. The
-        # previous consumer-side `count(1) over partitionBy(id)` window
-        # computed the same number but forced a full sort of the
-        # exploded occurrence stream inside the feats build.
-        n_w = F.size("_words")
-        counts = [
-            (n_w + F.when(n_w >= 2, n_w - 1).otherwise(0)).alias(count_col)
-        ]
-    return base.select(
-        F.col(id_col), *extras, *counts, F.explode(grams).alias("shingle")
-    ).select(
+    n_w = F.size("_words")
+    # per-doc TOTAL gram count: |uni| + |bi| = n + (n-1 when n >= 2) —
+    # pure arithmetic on the words array, exactly the number of rows
+    # this doc's explode emits. Doubles as the count_col rider (the
+    # previous consumer-side `count(1) over partitionBy(id)` window
+    # computed the same number but forced a full sort of the exploded
+    # occurrence stream inside the feats build).
+    n_grams = n_w + F.when(n_w >= 2, n_w - 1).otherwise(0)
+    counts: list = [] if count_col is None else [n_grams.alias(count_col)]
+    # Round-7: grams stream through ONE scalar explode over the index
+    # range [0, n_grams) — index i < n is unigram i, index i >= n is
+    # bigram starting at i-n — replacing the explode of a
+    # `concat(words, transform(sequence, i -> concat_ws(slice)))`
+    # array build: higher-order functions are CodegenFallback, so the
+    # lambda forced the gram projection into interpreted evaluation
+    # (measured 3.07 s -> 0.34 s executor CPU for the sf0.1 corpus
+    # gram explode; identical multiset in the identical order —
+    # unigrams then bigrams). NULL text: n_grams is NULL -> sequence
+    # NULL -> explode emits nothing, like the old concat-of-NULL form;
+    # a non-null text always splits to >= 1 word, so the sequence
+    # bound n_grams - 1 >= 0 never steps downward.
+    step = base.select(
+        F.col(id_col),
+        *extras,
+        *counts,
+        "_words",
+        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("_gi"),
+    )
+    gi = F.col("_gi")
+    shingle = F.when(
+        gi < n_w, F.element_at("_words", gi + 1)
+    ).otherwise(F.concat_ws(" ", F.slice("_words", gi - n_w + 1, 2)))
+    return step.select(
         id_col,
         *extras,
         *([count_col] if count_col is not None else []),
-        F.pmod(_hash60(F.col("shingle")), F.lit(n_buckets)).alias("feature"),
+        F.pmod(_hash60(shingle), F.lit(n_buckets)).alias("feature"),
     )
 
 

@@ -66,14 +66,23 @@ def _positional_gram_hashes(
     from deidentify_spark.operators.dedup import _materialized_words
 
     base = _materialized_words(df, text_col, id_col)
-    ghs = F.when(
+    # Round-7: scalar explode of the position range, xxhash64(slice)
+    # per OUTPUT row — the previous transform(sequence, lambda) array
+    # build evaluated interpreted (HOFs are CodegenFallback; see
+    # classifier._features for the measured 9x CPU delta of the same
+    # rewrite). posexplode(pos, gh) == (explode positions, hash per
+    # row): identical rows, identical 0-based positions.
+    idx = F.when(
         F.size("_words") >= k,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_words") - k),
-            lambda i: F.xxhash64(F.slice("_words", i + 1, k)),
-        ),
-    ).otherwise(F.array().cast("array<long>"))
-    return base.select(F.col(id_col), F.posexplode(ghs).alias("pos", "gh"))
+        F.sequence(F.lit(0), F.size("_words") - k),
+    ).otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col(id_col), "_words", F.explode(idx).alias("pos")
+    ).select(
+        F.col(id_col),
+        F.col("pos"),
+        F.xxhash64(F.slice("_words", F.col("pos") + 1, k)).alias("gh"),
+    )
 
 
 def _dup_spans(

@@ -89,12 +89,17 @@ def word_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     distinct: bool = True,
+    wide: bool = False,
 ) -> DataFrame:
     """Word n-gram shingles per doc: (id, shingle), distinct by default.
 
     Pass ``distinct=False`` for duplicate-insensitive consumers (minhash:
     min over duplicates == min over distinct) — it removes an entire
     shuffle of shingle strings (~20% of minhash wall time at sf0.1).
+    ``wide`` is forwarded to the words exchange (see
+    ``_materialized_words``): signature-computing consumers whose
+    per-shingle CPU is a multiple of the shingle bytes keep the
+    per-core width floor.
 
     Docs with fewer than ``n`` words yield ZERO shingles (they simply
     don't appear in the output) — matching the DuckDB oracle twin, where
@@ -102,20 +107,34 @@ def word_shingles(
     ``F.sequence(0, size-n)`` steps DOWNWARD when ``size-n < 0`` (Spark
     sequence semantics), crashing on any 1-2 word doc.
     """
-    base = _materialized_words(df, text_col, id_col)
-    grams = F.when(
+    base = _materialized_words(df, text_col, id_col, wide=wide)
+    # Round-7: scalar explode of the position range + per-row
+    # concat_ws(slice) instead of exploding a transform(sequence,
+    # lambda) array build — higher-order functions are CodegenFallback,
+    # so the lambda forced the whole gram projection into interpreted
+    # evaluation (same rows in the same order; see classifier._features
+    # for the measured 9x executor-CPU delta of the same rewrite).
+    idx = F.when(
         F.size("_words") >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size("_words") - n),
-            lambda i: F.concat_ws(" ", F.slice("_words", i + 1, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    out = base.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        F.sequence(F.lit(0), F.size("_words") - n),
+    ).otherwise(F.array().cast("array<int>"))
+    out = base.select(
+        F.col(id_col), "_words", F.explode(idx).alias("_i")
+    ).select(
+        F.col(id_col),
+        F.concat_ws(
+            " ", F.slice("_words", F.col("_i") + 1, n)
+        ).alias("shingle"),
+    )
     return out.distinct() if distinct else out
 
 
 def _materialized_words(
-    df: DataFrame, text_col: str, id_col: str, extra_cols: tuple[str, ...] = ()
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    extra_cols: tuple[str, ...] = (),
+    wide: bool = False,
 ) -> DataFrame:
     """(id[, extra...], _words) with the split-words array forced into a
     BOUND ATTRIBUTE behind an exchange.
@@ -139,6 +158,25 @@ def _materialized_words(
     concurrent 1-GiB-heap tasks at 100k pages; the array form has no
     sort and survives.)
 
+    Round-7 width rule: by default the exchange is ``repartition(id)``
+    with NO explicit partition count, so AQE sizes the reduce side
+    from the shuffled BYTES (initial width = shuffle.partitions, then
+    byte-based coalescing) — scale-adaptive in both directions: a
+    250-doc train split lands on 1-2 partitions (the old
+    ``max(input, defaultParallelism)`` floor forced >= one task per
+    core, and each task of every downstream pass over the cached/
+    re-read words table paid a fixed per-task cost that dwarfed its
+    ~handful of rows — measured 45% of the sf0.1 logreg query), while
+    a corpus-scale shuffle keeps its width from its volume, governed
+    by the same shuffle.partitions/advisory-size confs every other
+    exchange obeys. ``wide=True`` keeps the per-core floor: callers
+    whose downstream per-word CPU is multiplied far beyond the words
+    bytes (the minhash signature chain: k md5s per shingle) declare
+    it, because byte-based coalescing cannot see a CPU multiplier
+    (measured: AQE-sizing the minhash words exchange serialized the
+    signature stage onto 1-2 tasks and cost +76% on
+    fuzzy_decontaminate at sf0.1).
+
     explicit RE2 whitespace class: Java's \\s additionally matches
     \\x0B, which the DuckDB twin's RE2 \\s does not — a vertical-tab
     doc would shingle differently on the two engines.
@@ -146,11 +184,14 @@ def _materialized_words(
     from deidentify_spark.functions.text_stats import RE2_WS_CLASS
 
     words = F.split(F.lower(F.trim(F.col(text_col))), RE2_WS_CLASS + "+")
-    sc = df.sparkSession.sparkContext
-    width = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
-    return df.select(
+    slim = df.select(
         F.col(id_col), *[F.col(c) for c in extra_cols], words.alias("_words")
-    ).repartition(width, id_col)
+    )
+    if wide:
+        sc = df.sparkSession.sparkContext
+        width = max(df.rdd.getNumPartitions(), sc.defaultParallelism)
+        return slim.repartition(width, id_col)
+    return slim.repartition(id_col)
 
 
 def minhash_signatures(
@@ -304,9 +345,12 @@ def _minhash_band_membership(
     rows = k // bands
     # distinct=False: min() is duplicate-insensitive, and skipping the
     # distinct removes a full shuffle of shingle strings (identical
-    # output, measured ~20% faster at sf0.1)
+    # output, measured ~20% faster at sf0.1). wide=True: the signature
+    # aggregate computes k md5s per shingle — a CPU multiplier over the
+    # words bytes that AQE's byte-based coalescing cannot see (r7
+    # measured +76% on fuzzy_decontaminate with the byte-sized form).
     sigs = minhash_signatures(
-        word_shingles(df, n, text_col, id_col, distinct=False),
+        word_shingles(df, n, text_col, id_col, distinct=False, wide=True),
         k,
         id_col,
     )

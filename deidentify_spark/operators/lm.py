@@ -75,18 +75,21 @@ def doc_bigrams(
         F.explode(F.array(F.struct(words.alias("_w")))).alias("_s"),
     ).select(id_col, F.col("_s._w").alias("_w"))
     n = F.size("_w")
-    pairs = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.struct(
-                F.element_at(F.col("_w"), i + 1).alias("w1"),
-                F.element_at(F.col("_w"), i + 2).alias("w2"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return bar.select(F.col(id_col), F.explode(pairs).alias("_p")).select(
-        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    # Round-7: scalar explode of the position range with two
+    # element_at gathers per OUTPUT row on the bound _w attribute —
+    # the previous transform(sequence, lambda)-of-structs array build
+    # evaluated interpreted (HOFs are CodegenFallback; see
+    # classifier._features for the measured CPU delta). Same pairs in
+    # the same order.
+    idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return bar.select(
+        F.col(id_col), "_w", F.explode(idx).alias("_i")
+    ).select(
+        id_col,
+        F.element_at("_w", F.col("_i") + 1).alias("w1"),
+        F.element_at("_w", F.col("_i") + 2).alias("w2"),
     )
 
 
