@@ -81,6 +81,13 @@ _MINHASH_CAND_SQL = """
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every query path passes through here: pin the cached-plan-AQE
+    # conf deterministically so a query's cache partitioning never
+    # depends on which queries ran earlier in the session (see
+    # runtime.ensure_cached_plan_aqe).
+    from deidentify_spark.runtime import ensure_cached_plan_aqe
+
+    ensure_cached_plan_aqe(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -299,6 +299,9 @@ def logreg_train(
     """
     import math
 
+    from deidentify_spark.runtime import ensure_cached_plan_aqe
+
+    ensure_cached_plan_aqe(df.sparkSession)
     # persist, not localCheckpoint: the cache's InMemoryRelation keeps
     # the id-hash outputPartitioning visible to Catalyst, so the
     # per-iteration groupBy(id)/join(id) reuse it exchange-free — a
@@ -357,9 +360,14 @@ def logreg_train(
     # (pmod(h, n_buckets) is always >= 0, so no document feature can
     # collide with it); its h IS the Böhning-Lindsay bias majorant, so
     # the shared `w - g/h` update below performs `b - Σr/hb` exactly.
+    # coalesce(1): createDataFrame spreads even a 1-row local relation
+    # over defaultParallelism partitions, and the union below would
+    # carry those 32 near-empty partitions into EVERY per-iteration
+    # weights checkpoint (40 write tasks per round for a model-sized
+    # table; round 7, measured in the solo-query stage profile)
     bias_row = spark_sess.createDataFrame(
         [(-1, float(bias0), float(h_bias))], "feature long, w double, h double"
-    )
+    ).coalesce(1)
     weights = (
         dense.crossJoin(F.broadcast(totals))
         .select(
